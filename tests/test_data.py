@@ -1,0 +1,121 @@
+"""Data layer tests: loader contract, tokenization round-trip, array encoding.
+
+Mirrors the reference semantics in kgvae/model/utils.py:66-146 and
+kgvae/experiments/train.py:328-408 (SURVEY.md §4 test plan).
+"""
+
+import numpy as np
+import pytest
+
+from ark_tpu.data import (
+    DATASET_NAMES,
+    SPECIAL_TOKENS,
+    batch_iterator,
+    build_vocab_layout,
+    canonical_graph_string,
+    encode_graphs,
+    load_data_as_list,
+    seq_to_triples,
+    triples_to_seq,
+)
+from ark_tpu.data.dataset import num_batches
+
+
+def _layout_for(name):
+    train_g, val_g, test_g, (e2i, i2e), (r2i, i2r), (mn, mx), _ = load_data_as_list(name)
+    use_padding = name.startswith("wd-")
+    layout = build_vocab_layout(len(e2i), len(r2i), mn, mx, use_padding)
+    return train_g, val_g, test_g, e2i, i2e, r2i, i2r, layout
+
+
+@pytest.mark.parametrize("name", DATASET_NAMES)
+def test_load_data_contract(small_datasets, name):
+    train_g, val_g, test_g, (e2i, i2e), (r2i, i2r), (mn, mx), labels = load_data_as_list(name)
+    assert len(train_g) > 0 and len(val_g) > 0 and len(test_g) > 0
+    assert 0 < mn <= mx
+    # int triples indexable through the vocab maps
+    h, r, t = train_g[0][0]
+    assert i2e[h] in e2i and i2r[r] in r2i and i2e[t] in e2i
+    if not name.startswith("wd-"):
+        assert mn == mx, "non-padded datasets must have constant edge count"
+
+
+def test_vocab_layout_semantics(small_datasets):
+    # non-padded: no pad ids (reference train.py:332-348)
+    *_, layout = _layout_for("syn-paths")
+    assert layout.pad_eid is None and layout.pad_rid is None
+    assert layout.ent_base == 3
+    assert layout.rel_base == 3 + layout.num_entities
+    assert layout.vocab_size == layout.rel_base + layout.num_relations
+    assert layout.seq_len == 2 + 3 * layout.max_edges
+    assert layout.num_entities == 49 and layout.num_relations == 3
+
+    # padded: pad ids appended, counts grown by one (train.py:334-338)
+    train_g, *_ , layout_wd = _layout_for("wd-movies")
+    assert layout_wd.pad_eid == layout_wd.num_entities - 1
+    assert layout_wd.pad_rid == layout_wd.num_relations - 1
+
+
+def test_tokenize_roundtrip(small_datasets):
+    train_g, *_, layout = _layout_for("syn-paths")
+    for g in train_g[:50]:
+        seq = triples_to_seq(g, SPECIAL_TOKENS, layout.ent_base, layout.rel_base, layout.seq_len)
+        assert len(seq) == layout.seq_len
+        assert seq[0] == SPECIAL_TOKENS["BOS"]
+        back = seq_to_triples(seq, SPECIAL_TOKENS, layout.ent_base, layout.rel_base)
+        assert back == [tuple(t) for t in g]
+
+
+def test_encode_graphs_matches_scalar_tokenizer(small_datasets):
+    for name in ["syn-tipr", "wd-articles"]:
+        train_g, *_ , layout = _layout_for(name)
+        data = encode_graphs(train_g[:64], layout)
+        for i, g in enumerate(train_g[:64]):
+            ref = triples_to_seq(g, SPECIAL_TOKENS, layout.ent_base,
+                                 layout.rel_base, layout.seq_len)
+            np.testing.assert_array_equal(data.seq[i], np.asarray(ref, np.int32))
+            assert data.n_edges[i] == len(g)
+            if layout.use_padding:
+                pad_rows = data.triples[i, len(g):]
+                if pad_rows.size:
+                    assert (pad_rows[:, 1] == layout.pad_rid).all()
+                    assert (pad_rows[:, 0] == layout.pad_eid).all()
+
+
+def test_batch_iterator_shapes_and_permutation(small_datasets):
+    train_g, *_ , layout = _layout_for("syn-paths")
+    data = encode_graphs(train_g[:100], layout, permute=True)
+    rng = np.random.default_rng(0)
+    batches = list(batch_iterator(data, 32, shuffle=True, drop_last=True, rng=rng))
+    assert len(batches) == num_batches(100, 32, drop_last=True) == 3
+    for triples, seq in batches:
+        assert triples.shape == (32, layout.max_edges, 3)
+        assert seq.shape == (32, layout.seq_len)
+        # permuted seq must still decode to the same triple multiset
+        for i in range(4):
+            back = seq_to_triples(seq[i], SPECIAL_TOKENS, layout.ent_base, layout.rel_base)
+            assert sorted(back) == sorted(map(tuple, triples[i].tolist()))
+
+    # padded dataset: permute flag is inert (SURVEY quirk Q-5)
+    train_wd, *_ , layout_wd = _layout_for("wd-movies")
+    data_wd = encode_graphs(train_wd[:40], layout_wd, permute=True)
+    b0 = next(batch_iterator(data_wd, 8, rng=np.random.default_rng(1)))
+    np.testing.assert_array_equal(b0[1], data_wd.seq[:8])
+
+
+def test_canonical_graph_string():
+    g1 = [(3, 1, 2), (0, 0, 1)]
+    g2 = [(0, 0, 1), (3, 1, 2)]
+    assert canonical_graph_string(g1) == canonical_graph_string(g2)
+
+
+def test_deterministic_generation(small_datasets):
+    from ark_tpu.data.loader import get_file_paths
+    import hashlib
+    from pathlib import Path
+
+    # regeneration from the same seed must be byte-identical
+    from ark_tpu.data.generators import generate_splits
+    a = generate_splits("syn-paths", sizes=(50, 10, 10))
+    b = generate_splits("syn-paths", sizes=(50, 10, 10))
+    assert a == b
