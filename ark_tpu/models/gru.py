@@ -1,0 +1,101 @@
+"""Multi-layer GRU with torch ``nn.GRU`` semantics, TPU-first layout.
+
+Gate conventions match torch exactly (gate order r, z, n; paired biases):
+
+    r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+    z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+    n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
+    h' = (1 - z) * n + z * h
+
+TPU mapping: the input-side gate projections for the whole sequence are one
+big batched matmul ([B, L, D] x [D, 3H] on the MXU) hoisted out of the time
+loop; the ``lax.scan`` carries only the [B, H] recurrent matmul per step.
+Inter-layer dropout (not after the last layer, train mode only) matches torch
+(reference constructs ``nn.GRU(dropout=...)`` at models.py:121-127, 329-335).
+
+Verified numerically against torch.nn.GRU in tests/test_torch_parity.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ark_tpu.models.initializers import uniform_fan
+from ark_tpu.models.layers import dropout
+
+
+def gru_init(key, input_size, hidden_size, num_layers):
+    """Per layer: w_ih [in, 3H], w_hh [H, 3H], b_ih [3H], b_hh [3H]
+    (gate blocks ordered r|z|n along the 3H axis, like torch)."""
+    layers = []
+    for l in range(num_layers):
+        d_in = input_size if l == 0 else hidden_size
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        layers.append({
+            "w_ih": uniform_fan(k1, (d_in, 3 * hidden_size), hidden_size),
+            "w_hh": uniform_fan(k2, (hidden_size, 3 * hidden_size), hidden_size),
+            "b_ih": uniform_fan(k3, (3 * hidden_size,), hidden_size),
+            "b_hh": uniform_fan(k4, (3 * hidden_size,), hidden_size),
+        })
+    return {"layers": layers}
+
+
+def _cell(h, gx, w_hh, b_hh, hidden_size):
+    """One GRU step. gx = x W_ih + b_ih precomputed; h [B, H]."""
+    gh = jnp.dot(h, w_hh.astype(h.dtype), preferred_element_type=jnp.float32)
+    gh = (gh + b_hh).astype(h.dtype)
+    H = hidden_size
+    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+    n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+    return (1.0 - z) * n + z * h
+
+
+def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
+              deterministic=True):
+    """x [B, L, D] -> (y [B, L, H], hT [num_layers, B, H]).
+
+    h0: [num_layers, B, H] or None (zeros)."""
+    layers = params["layers"]
+    b, l, _ = x.shape
+    hidden = layers[0]["w_hh"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((len(layers), b, hidden), x.dtype)
+    h_finals = []
+    out = x
+    for li, lp in enumerate(layers):
+        # hoisted input projection for the whole sequence (MXU-friendly)
+        gx = jnp.dot(out, lp["w_ih"].astype(out.dtype),
+                     preferred_element_type=jnp.float32)
+        gx = (gx + lp["b_ih"]).astype(out.dtype)
+
+        def step(h, gx_t, _lp=lp):
+            h_new = _cell(h, gx_t, _lp["w_hh"], _lp["b_hh"], hidden)
+            return h_new, h_new
+
+        hT, ys = jax.lax.scan(step, h0[li].astype(out.dtype),
+                              jnp.swapaxes(gx, 0, 1))
+        out = jnp.swapaxes(ys, 0, 1)
+        h_finals.append(hT)
+        if li < len(layers) - 1 and not deterministic and dropout_rate > 0.0:
+            rng, sub = jax.random.split(rng)
+            out = dropout(out, dropout_rate, sub, deterministic)
+    return out, jnp.stack(h_finals)
+
+
+def gru_step(params, x_t, h):
+    """Single decode step for sampling: x_t [B, D], h [num_layers, B, H]
+    -> (y_t [B, H], h' [num_layers, B, H]). Eval mode (no dropout)."""
+    layers = params["layers"]
+    hidden = layers[0]["w_hh"].shape[0]
+    new_h = []
+    out = x_t
+    for li, lp in enumerate(layers):
+        gx = jnp.dot(out, lp["w_ih"].astype(out.dtype),
+                     preferred_element_type=jnp.float32)
+        gx = (gx + lp["b_ih"]).astype(out.dtype)
+        h_new = _cell(h[li].astype(out.dtype), gx, lp["w_hh"], lp["b_hh"], hidden)
+        new_h.append(h_new)
+        out = h_new
+    return out, jnp.stack(new_h)

@@ -3,11 +3,17 @@ sharding is testable without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Must be set before the CPU backend initializes. Note: this environment's
+# sitecustomize imports jax at interpreter startup with JAX_PLATFORMS=axon,
+# so the env var alone is too late — force the config explicitly too.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Small procedurally-generated datasets for tests (full-size generation of
 # wd-articles takes a while; tests use a dedicated scratch data dir).
