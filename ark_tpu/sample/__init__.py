@@ -1,0 +1,4 @@
+from ark_tpu.sample.samplers import make_sampler, generate, decode_latent
+from ark_tpu.sample.beam import beam_generate
+
+__all__ = ["make_sampler", "generate", "decode_latent", "beam_generate"]

@@ -1,0 +1,145 @@
+"""On-device autoregressive sampling as a single ``lax.scan``.
+
+Replaces the reference's per-token host loop (models.py:407-471, which
+re-encodes the full prefix every step and runs a per-row Python multinomial
+for top-p, models.py:450-453) with one compiled scan:
+
+  - O(1) per-token state (GRU hidden carry / transformer KV cache)
+  - vectorized temperature / top-k / top-p filtering (sort + cumsum)
+  - per-row EOS freezing: after a row emits EOS, all its later tokens are
+    EOS. The reference instead early-stops only when the *whole batch* hits
+    EOS simultaneously and right-pads with EOS (models.py:462-467, SURVEY
+    quirk Q-4); both decode to identical triples because ``seq_to_triples``
+    stops at the first EOS (utils.py:74).
+  - forced-token hooks: a static list of (position, token_id) pairs whose
+    logits are replaced by one-hot(-inf elsewhere) — the conditioned
+    generation mechanism (reference conditioned.py:73-76, 140-151).
+
+Sampling semantics match the reference order of operations: temperature ->
+softmax -> top-k filter -> renormalize -> top-p filter -> renormalize ->
+multinomial (models.py:429-455).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def filter_top_k(probs, top_k: int):
+    """Keep the top_k highest-probability tokens (0 < top_k < V), renormalize."""
+    thresh = jax.lax.top_k(probs, top_k)[0][..., -1:]
+    kept = jnp.where(probs >= thresh, probs, 0.0)
+    return kept / jnp.clip(kept.sum(-1, keepdims=True), 1e-12, None)
+
+
+def filter_top_p(probs, top_p: float):
+    """Nucleus filtering with the reference's shifted-cutoff rule
+    (conditioned.py:93-100): sort desc, keep tokens until the cumulative
+    probability first exceeds top_p (the crossing token stays)."""
+    sp = jnp.sort(probs, axis=-1)[..., ::-1]
+    cdf = jnp.cumsum(sp, axis=-1)
+    cutoff = cdf > top_p
+    cutoff = jnp.concatenate(
+        [jnp.zeros_like(cutoff[..., :1]), cutoff[..., :-1]], axis=-1)
+    num_kept = jnp.sum(~cutoff, axis=-1) - 1  # index of smallest kept prob
+    thresh = jnp.take_along_axis(sp, num_kept[..., None], axis=-1)
+    kept = jnp.where(probs >= thresh, probs, 0.0)
+    return kept / jnp.clip(kept.sum(-1, keepdims=True), 1e-12, None)
+
+
+def process_logits(logits, temperature=1.0, top_k=0, top_p=0.0):
+    """logits [B, V] -> filtered probability distribution [B, V]."""
+    logits = logits.astype(jnp.float32)
+    if temperature and temperature != 1.0:
+        logits = logits / float(temperature)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if top_k and 0 < top_k < logits.shape[-1]:
+        probs = filter_top_k(probs, int(top_k))
+    if top_p and 0.0 < top_p < 1.0:
+        probs = filter_top_p(probs, float(top_p))
+    return probs
+
+
+def _force(logits, pos_idx, forced):
+    """Replace logits with one-hot(token) at generation index ``pos_idx``
+    for each static (position, token_id) pair."""
+    for position, token_id in forced:
+        onehot = jnp.full_like(logits, NEG_INF).at[:, token_id].set(0.0)
+        logits = jnp.where(pos_idx == position, onehot, logits)
+    return logits
+
+
+def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
+                 top_p=0.0, forced=()):
+    """Builds a jitted sampler.
+
+    lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
+    vae models: sampler(params, rng, z)          -> seq [B, seq_len] int32
+    (batch_size is static; all sampling knobs are compile-time constants.)
+    """
+    st = layout.special_tokens
+    bos, eos = st["BOS"], st["EOS"]
+    L = layout.seq_len
+    forced = tuple(forced)
+
+    def _scan_sample(params, rng, state, batch):
+        def body(carry, t):
+            state, token, finished, rng = carry
+            rng, k = jax.random.split(rng)
+            logits, state = model.decode_step(params, state, token, t)
+            logits = _force(logits.astype(jnp.float32), t + 1, forced)
+            if sample:
+                probs = process_logits(logits, temperature, top_k, top_p)
+                nxt = jax.random.categorical(k, jnp.log(jnp.clip(probs, 1e-30, None)))
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
+            nxt = jnp.where(finished, eos, nxt).astype(jnp.int32)
+            finished = finished | (nxt == eos)
+            return (state, nxt, finished, rng), nxt
+
+        token0 = jnp.full((batch,), bos, jnp.int32)
+        finished0 = jnp.zeros((batch,), bool)
+        (_, _, _, _), toks = jax.lax.scan(
+            body, (state, token0, finished0, rng), jnp.arange(L - 1))
+        seq = jnp.concatenate([token0[:, None], toks.T], axis=1)
+        return seq
+
+    if model.kind == "lm":
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def sampler(params, rng, batch_size):
+            state = model.decode_state(params, batch_size)
+            return _scan_sample(params, rng, state, batch_size)
+    else:
+        @jax.jit
+        def sampler(params, rng, z):
+            state = model.decode_state(params, z)
+            return _scan_sample(params, rng, state, z.shape[0])
+
+    return sampler
+
+
+def generate(model, params, layout, rng, batch_size, *, sample=True,
+             temperature=1.0, top_k=0, top_p=0.0, forced=()):
+    """Convenience one-shot generation (reference ARK.generate surface,
+    models.py:407-471). Returns int32 [batch_size, seq_len]."""
+    sampler = make_sampler(model, layout, sample=sample, temperature=temperature,
+                           top_k=top_k, top_p=top_p, forced=forced)
+    return sampler(params, rng, batch_size)
+
+
+def decode_latent(model, params, layout, z, *, beam=1, rng=None):
+    """SAIL decode from latent vectors (reference models.py:262-266).
+    beam=1 -> greedy scan; beam>1 -> reference-faithful beam search."""
+    from ark_tpu.sample.beam import beam_generate
+
+    if beam <= 1:
+        sampler = make_sampler(model, layout, sample=False)
+        if rng is None:
+            rng = jax.random.key(0)  # unused in greedy mode
+        return sampler(params, rng, z)
+    return beam_generate(model, params, layout, z, beam=beam)

@@ -1,0 +1,188 @@
+"""Fused jit training/evaluation steps and whole-epoch device scans.
+
+The reference's hot loop (SURVEY §3.2) does one optimizer step per host
+iteration with a D->H ``.item()`` sync per batch (reference train.py:42-63).
+Here the entire epoch is a single compiled ``lax.scan``: the full training
+split lives in device HBM (the largest split, wd-articles, is ~17 MB of
+int32), batches are gathered on device, the per-graph triple-permutation
+augmentation runs on device, and metrics come back as one small array per
+epoch. One host->device call per epoch.
+
+Loss (reference train.py:46-58, ablation_study.py:59-73):
+    lm:  CE(logits(seq[:, :-1]), seq[:, 1:], ignore PAD)
+    vae: CE + beta * KL(mu, logv)
+Optimizer: Adam (scale_by_adam), lr applied as a runtime scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ark_tpu.models.api import Model
+from ark_tpu.ops.losses import kl_mean_weighted, masked_cross_entropy
+from ark_tpu.train.state import TrainState, adam_tx
+
+
+def build_seq_from_triples(triples, ent_base, rel_base, bos, eos):
+    """Vectorized triples->sequence for constant-edge-count graphs (the only
+    case where permutation augmentation applies; SURVEY quirk Q-5)."""
+    b, k, _ = triples.shape
+    body = jnp.stack(
+        [triples[:, :, 0] + ent_base,
+         triples[:, :, 1] + rel_base,
+         triples[:, :, 2] + ent_base], axis=-1).reshape(b, 3 * k)
+    bos_col = jnp.full((b, 1), bos, body.dtype)
+    eos_col = jnp.full((b, 1), eos, body.dtype)
+    return jnp.concatenate([bos_col, body, eos_col], axis=1)
+
+
+def permute_triples_device(triples, rng):
+    """Random per-graph permutation of the triples axis (reference
+    utils.py:133-134 ``random.sample``), vectorized with argsort-of-uniforms."""
+    b, k, _ = triples.shape
+    order = jnp.argsort(jax.random.uniform(rng, (b, k)), axis=1)
+    return jnp.take_along_axis(triples, order[:, :, None], axis=1)
+
+
+def _loss_fn(model: Model, pad_id: int):
+    if model.kind == "lm":
+        def loss(params, triples, seq, rng, beta, row_weights=None):
+            del triples
+            logits = model.apply(params, seq[:, :-1], rng=rng, deterministic=rng is None)
+            ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, row_weights)
+            return ce, (ce, jnp.float32(0.0))
+    else:
+        def loss(params, triples, seq, rng, beta, row_weights=None):
+            rng_model, _ = jax.random.split(rng)
+            logits, mu, logv = model.apply(params, triples, seq[:, :-1],
+                                           rng=rng_model,
+                                           deterministic=False)
+            ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, row_weights)
+            kl = kl_mean_weighted(mu, logv, row_weights)
+            return ce + beta * kl, (ce, kl)
+    return loss
+
+
+def make_train_step(model: Model, pad_id: int):
+    """Single-batch fused step: (state, triples, seq, rng, lr, beta) ->
+    (state, metrics)."""
+    tx = adam_tx()
+    loss_fn = _loss_fn(model, pad_id)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, triples, seq, rng, lr, beta):
+        (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, triples, seq, rng, beta)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params, opt_state), {
+            "loss": loss, "reconstruction_loss": ce, "kl_loss": kl}
+
+    return step
+
+
+def make_eval_step(model: Model, pad_id: int):
+    """Single-batch eval metrics (deterministic; VAE still samples z)."""
+    loss_fn = _loss_fn(model, pad_id)
+
+    @jax.jit
+    def step(params, triples, seq, rng, beta, row_weights):
+        if model.kind == "lm":
+            logits = model.apply(params, seq[:, :-1], deterministic=True)
+            ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, row_weights)
+            return {"loss": ce, "reconstruction_loss": ce,
+                    "kl_loss": jnp.float32(0.0)}
+        logits, mu, logv = model.apply(params, triples, seq[:, :-1], rng=rng,
+                                       deterministic=True)
+        ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, row_weights)
+        kl = kl_mean_weighted(mu, logv, row_weights)
+        return {"loss": ce + beta * kl, "reconstruction_loss": ce, "kl_loss": kl}
+
+    return step
+
+
+def make_epoch_fns(model: Model, layout, config):
+    """Whole-epoch compiled scans.
+
+    Returns (train_epoch, eval_epoch):
+      train_epoch(state, triples_all, seq_all, rng, lr, beta) -> (state, metrics)
+      eval_epoch(params, triples_all, seq_all, row_weights, rng, beta) -> metrics
+    Inputs must be device arrays; train arrays' length is truncated to a
+    multiple of batch_size (drop_last=True, reference train.py:369); eval
+    arrays must be pre-padded to a multiple of batch_size with
+    row_weights=0 on padding rows.
+    """
+    pad_id = layout.special_tokens["PAD"]
+    bos = layout.special_tokens["BOS"]
+    eos = layout.special_tokens["EOS"]
+    bs = int(config["batch_size"])
+    shuffle = bool(config.get("shuffle_train", False))
+    permute = bool(config.get("permute_triples", False)) and not layout.use_padding
+    tx = adam_tx()
+    loss_fn = _loss_fn(model, pad_id)
+    is_vae = model.kind == "vae"
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(state: TrainState, triples_all, seq_all, rng, lr, beta):
+        n = seq_all.shape[0]
+        nb = n // bs
+        rng, k_order = jax.random.split(rng)
+        if shuffle:
+            order = jax.random.permutation(k_order, n)
+        else:
+            order = jnp.arange(n)
+
+        def body(carry, i):
+            state, rng = carry
+            rng, k_perm, k_drop = jax.random.split(rng, 3)
+            idx = jax.lax.dynamic_slice(order, (i * bs,), (bs,))
+            triples = triples_all[idx]
+            if permute:
+                triples = permute_triples_device(triples, k_perm)
+                seq = build_seq_from_triples(
+                    triples, layout.ent_base, layout.rel_base, bos, eos)
+            else:
+                seq = seq_all[idx]
+            (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, triples, seq, k_drop, beta)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return (TrainState(params, opt_state), rng), jnp.stack([loss, ce, kl])
+
+        (state, _), ms = jax.lax.scan(body, (state, rng), jnp.arange(nb))
+        mean = ms.mean(axis=0)
+        return state, {"loss": mean[0], "reconstruction_loss": mean[1],
+                       "kl_loss": mean[2]}
+
+    @jax.jit
+    def eval_epoch(params, triples_all, seq_all, row_weights, rng, beta):
+        n = seq_all.shape[0]
+        nb = n // bs
+
+        def body(rng, i):
+            rng, k = jax.random.split(rng)
+            sl = i * bs
+            triples = jax.lax.dynamic_slice_in_dim(triples_all, sl, bs, 0)
+            seq = jax.lax.dynamic_slice_in_dim(seq_all, sl, bs, 0)
+            w = jax.lax.dynamic_slice_in_dim(row_weights, sl, bs, 0)
+            if is_vae:
+                logits, mu, logv = model.apply(params, triples, seq[:, :-1],
+                                               rng=k, deterministic=True)
+                ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, w)
+                kl = kl_mean_weighted(mu, logv, w)
+                return rng, jnp.stack([ce + beta * kl, ce, kl])
+            logits = model.apply(params, seq[:, :-1], deterministic=True)
+            ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, w)
+            return rng, jnp.stack([ce, ce, jnp.float32(0.0)])
+
+        _, ms = jax.lax.scan(body, rng, jnp.arange(nb))
+        mean = ms.mean(axis=0)
+        return {"loss": mean[0], "reconstruction_loss": mean[1],
+                "kl_loss": mean[2]}
+
+    return train_epoch, eval_epoch

@@ -1,0 +1,128 @@
+"""Training step tests: loss decreases, epoch-scan == per-batch stepping,
+Adam and cosine schedule match torch semantics (reference train.py:449-457).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from ark_tpu.data.tokenizer import build_vocab_layout
+from ark_tpu.models import build_model
+from ark_tpu.train import (
+    beta_for_epoch,
+    cosine_annealing_lr,
+    create_train_state,
+    make_epoch_fns,
+    make_train_step,
+)
+from ark_tpu.train.state import adam_tx
+
+LAYOUT = build_vocab_layout(20, 4, 3, 3, use_padding=False)
+CFG = dict(model_type="ARK", d_model=16, d_latent=6, n_heads=2, n_layers=2,
+           seq_len=LAYOUT.seq_len, vocab_size=LAYOUT.vocab_size,
+           n_entities=LAYOUT.num_entities, n_relations=LAYOUT.num_relations,
+           dec_dropout=0.0, batch_size=16, shuffle_train=False,
+           permute_triples=False, learning_rate=1e-2, num_epochs=5)
+
+
+def _toy_data(n=64):
+    rng = np.random.default_rng(0)
+    triples = rng.integers(0, 4, size=(n, 3, 3)).astype(np.int32)
+    triples[:, :, 0] %= 20
+    triples[:, :, 2] %= 20
+    from ark_tpu.train.steps import build_seq_from_triples
+    seq = np.asarray(build_seq_from_triples(
+        jnp.asarray(triples), LAYOUT.ent_base, LAYOUT.rel_base, 1, 2))
+    return jnp.asarray(triples), jnp.asarray(seq)
+
+
+def test_train_step_decreases_loss():
+    m = build_model(CFG)
+    state = create_train_state(m, jax.random.key(0))
+    step = make_train_step(m, pad_id=0)
+    triples, seq = _toy_data(16)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, triples, seq, jax.random.key(i), 1e-2, 1.0)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7
+
+
+@pytest.mark.parametrize("mt", ["ARK", "SAIL"])
+def test_epoch_scan_equals_batch_steps(mt):
+    cfg = dict(CFG, model_type=mt)
+    m = build_model(cfg)
+    state_a = create_train_state(m, jax.random.key(0))
+    state_b = create_train_state(m, jax.random.key(0))
+    triples, seq = _toy_data(64)
+    train_epoch, _ = make_epoch_fns(m, LAYOUT, cfg)
+    rng = jax.random.key(7)
+    state_a, metrics_a = train_epoch(state_a, triples, seq, rng, 1e-2, 1.0)
+
+    # mirror the scan's rng chain in a host loop with single-batch steps
+    step = make_train_step(m, pad_id=0)
+    r, _ = jax.random.split(rng)
+    ms = []
+    for i in range(64 // 16):
+        r, k_perm, k_drop = jax.random.split(r, 3)
+        sl = slice(i * 16, (i + 1) * 16)
+        state_b, met = step(state_b, triples[sl], seq[sl], k_drop, 1e-2, 1.0)
+        ms.append(float(met["loss"]))
+    np.testing.assert_allclose(float(metrics_a["loss"]), np.mean(ms),
+                               rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_adam_matches_torch():
+    w0 = np.random.default_rng(1).normal(size=(4, 3)).astype(np.float32)
+    x = np.random.default_rng(2).normal(size=(8, 4)).astype(np.float32)
+    y = np.random.default_rng(3).normal(size=(8, 3)).astype(np.float32)
+    lr = 1e-2
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=lr)
+    for _ in range(5):
+        opt.zero_grad()
+        loss = ((torch.tensor(x) @ tw - torch.tensor(y)) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    tx = adam_tx()
+    params = jnp.asarray(w0)
+    opt_state = tx.init(params)
+
+    def loss_fn(w):
+        return jnp.mean((jnp.asarray(x) @ w - jnp.asarray(y)) ** 2)
+
+    for _ in range(5):
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = params + jax.tree.map(lambda u: -lr * u, updates)
+
+    np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cosine_schedule_matches_torch():
+    base, eta_min, T = 1e-3, 1e-6, 10
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=T, eta_min=eta_min)
+    for epoch in range(T):
+        got = cosine_annealing_lr(base, epoch, T, eta_min)
+        np.testing.assert_allclose(got, opt.param_groups[0]["lr"], rtol=1e-6)
+        opt.step()
+        sched.step()
+
+
+def test_beta_annealing():
+    cfg = dict(model_type="SAIL", beta0=0.1, beta1=1.0, num_epochs=10)
+    assert beta_for_epoch(cfg, 0, annealed=True) == pytest.approx(0.1)
+    assert beta_for_epoch(cfg, 5, annealed=True) == pytest.approx(0.55)
+    assert beta_for_epoch(cfg, 0, annealed=False) == 1.0
+    assert beta_for_epoch(dict(cfg, model_type="ARK"), 5, annealed=True) == 1.0
