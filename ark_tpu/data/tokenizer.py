@@ -98,6 +98,30 @@ def seq_to_triples(seq, special_tokens, ent_base, rel_base):
     return triples
 
 
+def seqs_to_triples_batch(seqs, special_tokens, ent_base, rel_base):
+    """Vectorized ``seq_to_triples`` over a [N, L] int array.
+
+    Matches the reference walk (utils.py:70-78) exactly: triples are read
+    3-at-a-time from position 1; the walk stops at the first EOS found at a
+    triple-head position (EOS in relation/tail slots does NOT stop it)."""
+    seqs = np.asarray(seqs)
+    n, L = seqs.shape
+    k = (L - 2) // 3
+    eos = special_tokens["EOS"]
+    body = seqs[:, 1:1 + 3 * k].reshape(n, k, 3).astype(np.int64)
+    heads_not_eos = body[:, :, 0] != eos
+    keep = np.cumprod(heads_not_eos, axis=1).astype(bool)
+    body = body.copy()
+    body[:, :, 0] -= ent_base
+    body[:, :, 1] -= rel_base
+    body[:, :, 2] -= ent_base
+    out = []
+    for i in range(n):
+        m = keep[i]
+        out.append([tuple(t) for t in body[i, m].tolist()])
+    return out
+
+
 def ints_to_labels(graphs, i2e, i2r, verbose=True):
     """Map int triples to labels, silently dropping out-of-vocab triples with a
     warning count (reference utils.py:81-94)."""

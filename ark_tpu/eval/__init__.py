@@ -6,6 +6,7 @@ from ark_tpu.eval.verifiers import (
     WDMoviesVerifier,
     WDArticlesVerifier,
 )
+from ark_tpu.eval.compression import posterior_bits
 from ark_tpu.eval.semantic import (
     SemanticEvaluator,
     post_process_data,
@@ -21,4 +22,5 @@ __all__ = [
     "SemanticEvaluator",
     "post_process_data",
     "run_semantic_evaluation",
+    "posterior_bits",
 ]

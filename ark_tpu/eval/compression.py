@@ -1,0 +1,114 @@
+"""Posterior compression bits per graph — the reference's headline metric.
+
+Reference semantics (ARK: models.py:473-520; SAIL: models.py:202-260):
+  - evaluate the first ``max(1, sample_frac * N)`` graphs of the split
+  - AR bits  = sum over targets t=1.. (stopping at the first PAD) of
+    -log2 p(seq_t | seq_<t) under teacher forcing
+  - KL bits (SAIL only) = KL(q(z|triples) || N(0, I)) / ln 2, with the AR
+    bits computed from ONE sampled z ~ q(z|x)
+  - returns avg/min/max total bits + per-graph records
+
+The reference recomputes the full prefix forward per token at batch size 1 —
+O(L^2) decoder work per graph with a ``.item()`` sync per token (SURVEY
+quirk Q-2). Mathematically this equals ONE teacher-forced forward pass
+summing masked per-token NLL; that is what we compute, batched and jitted
+(verified equivalent in tests/test_compression.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ark_tpu.ops.losses import token_nll
+
+LN2 = math.log(2)
+
+
+_BITS_CACHE: dict = {}
+
+
+def _make_bits_fn(model, pad_id):
+    key = (id(model), pad_id)
+    if key in _BITS_CACHE:
+        return _BITS_CACHE[key]
+    fn = _build_bits_fn(model, pad_id)
+    _BITS_CACHE[key] = fn
+    return fn
+
+
+def _build_bits_fn(model, pad_id):
+    if model.kind == "lm":
+        @jax.jit
+        def bits(params, triples, seq, rng):
+            del triples, rng
+            logits = model.apply(params, seq[:, :-1], deterministic=True)
+            nll = token_nll(logits, seq[:, 1:])
+            mask = (seq[:, 1:] != pad_id).astype(jnp.float32)
+            ar_bits = jnp.sum(nll * mask, axis=1) / LN2
+            return ar_bits, jnp.zeros_like(ar_bits)
+    else:
+        @jax.jit
+        def bits(params, triples, seq, rng):
+            z, mu, logv = model.encode(params, triples, rng)
+            from ark_tpu.models.api import kl_per_graph
+            if model.decoder_arch == "gru":
+                from ark_tpu.models.decoders import gru_cond_apply
+                logits = gru_cond_apply(params["dec"], z, seq[:, :-1],
+                                        deterministic=True)
+            else:
+                from ark_tpu.models.decoders import txf_cond_apply
+                logits = txf_cond_apply(params["dec"], z, seq[:, :-1],
+                                        model.config["n_heads"],
+                                        deterministic=True)
+            nll = token_nll(logits, seq[:, 1:])
+            mask = (seq[:, 1:] != pad_id).astype(jnp.float32)
+            ar_bits = jnp.sum(nll * mask, axis=1) / LN2
+            kl_bits = kl_per_graph(mu, logv) / LN2
+            return ar_bits, kl_bits
+    return bits
+
+
+def posterior_bits(model, params, data, layout, *, sample_frac=0.1, rng=None,
+                   batch_size=256, desc="posterior bits"):
+    """Returns the reference stats dict (models.py:511-520): avg_total_bits /
+    avg_ar_bits / avg_kl_bits / min_total_bits / max_total_bits / records."""
+    pad_id = layout.special_tokens["PAD"]
+    n = max(1, int(sample_frac * len(data)))
+    sub = data.subset(n)
+    if rng is None:
+        rng = jax.random.key(0)
+    bits_fn = _make_bits_fn(model, pad_id)
+
+    ar_all, kl_all = [], []
+    bs = min(batch_size, n)
+    for start in range(0, n, bs):
+        stop = min(start + bs, n)
+        take = stop - start
+        # pad the ragged tail to the fixed batch size (avoids a recompile)
+        tr = np.zeros((bs,) + sub.triples.shape[1:], sub.triples.dtype)
+        sq = np.zeros((bs,) + sub.seq.shape[1:], sub.seq.dtype)
+        tr[:take] = sub.triples[start:stop]
+        sq[:take] = sub.seq[start:stop]
+        rng, k = jax.random.split(rng)
+        ar, kl = bits_fn(params, jnp.asarray(tr), jnp.asarray(sq), k)
+        ar_all.append(np.asarray(ar)[:take])
+        kl_all.append(np.asarray(kl)[:take])
+    ar = np.concatenate(ar_all)
+    kl = np.concatenate(kl_all)
+    total = ar + kl
+    records = [
+        {"ar_bits": float(a), "kl_bits": float(k), "total_bits": float(t)}
+        for a, k, t in zip(ar, kl, total)
+    ]
+    return {
+        "avg_total_bits": float(total.mean()),
+        "avg_ar_bits": float(ar.mean()),
+        "avg_kl_bits": float(kl.mean()),
+        "min_total_bits": float(total.min()),
+        "max_total_bits": float(total.max()),
+        "records": records,
+    }

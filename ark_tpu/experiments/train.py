@@ -1,0 +1,57 @@
+"""Training CLI — the reference public entry point
+(``python -m kgvae.experiments.train --config configs/<name>.yaml``,
+reference train.py:241-247; README.md:42). ``python -m
+ark_tpu.experiments.train`` is the native spelling; the ``kgvae`` package
+forwards here.
+
+Unlike the reference's train.py (ARK/t-ARK only, train.py:441-444), this
+trainer supports all four model types (the ablation trainer's superset
+behavior — SURVEY quirk Q-6 resolved in favor of one trainer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ark_tpu.train.loop import run_training
+from ark_tpu.utils import Run, apply_overrides, dump_effective_config, load_config
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True,
+                        help="Path to config file")
+    parser.add_argument("--wandb-project", type=str, default="submission",
+                        help="Weights & Biases project name")
+    parser.add_argument("--wandb-entity", type=str, default=None,
+                        help="Weights & Biases entity")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints",
+                        help="Directory to save checkpoints")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    config = load_config(args.config)
+    entity = args.wandb_entity or os.getenv("WANDB_ENTITY")
+    run = Run(project=args.wandb_project,
+              name=config.get("experiment_name", "ARK_experiment"),
+              entity=entity, config=config, anonymous="allow")
+    # sweep support: overrides flow back from the tracker config
+    config = apply_overrides(config, run.config)
+    config["learning_rate"] = float(config.get("learning_rate", 1e-3))
+
+    run_dir = os.path.join(args.checkpoint_dir, run.id)
+    os.makedirs(run_dir, exist_ok=True)
+    run.set_dir(run_dir)
+    dump_effective_config(config, run_dir)
+
+    final_metrics = run_training(config, run_dir, run)
+    run.finish()
+    print("\nTraining and evaluation completed!")
+    return final_metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,399 @@
+"""The unified training run: data -> model -> compiled epoch scans ->
+periodic sampling + semantic verification -> compression eval ->
+checkpoints -> metrics.
+
+This is the TPU-native superset of the reference's two trainers (SURVEY
+quirk Q-6): ``kgvae.experiments.train`` (ARK/t-ARK only, train.py:427-444)
+and ``kgvae.experiments.ablation_study`` (adds SAIL/t-SAIL with β-annealed
+ELBO). One trainer supports all four model types. Deliberate fixes, flagged
+per SURVEY §2:
+  - Q-1: posterior_bits runs only every ``compression_log_every`` epochs
+    (the reference's train.py computes it every epoch and only logs it
+    periodically; the ablation trainer gates correctly).
+  - Q-7: β is annealed for SAIL/t-SAIL (ablation trainer behavior).
+  - resume_from_checkpoint / checkpoint_path are functional (dead keys in
+    the reference).
+
+W&B metric names follow the reference surface exactly (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ark_tpu.data.dataset import encode_graphs
+from ark_tpu.data.loader import ensure_dataset, load_data_as_list
+from ark_tpu.data.tokenizer import (
+    build_vocab_layout,
+    canonical_graph_string,
+    ints_to_labels,
+    seqs_to_triples_batch,
+)
+from ark_tpu.eval import get_verifier, posterior_bits, run_semantic_evaluation
+from ark_tpu.models import build_model
+from ark_tpu.sample import make_sampler
+from ark_tpu.train.state import (
+    TrainState,
+    beta_for_epoch,
+    create_train_state,
+    lr_for_epoch,
+)
+from ark_tpu.train.steps import make_epoch_fns
+from ark_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, to_device_tree
+
+
+# ---------------------------------------------------------------------------
+# Data preparation
+# ---------------------------------------------------------------------------
+
+class DataBundle:
+    def __init__(self, config):
+        name = config["dataset"]
+        ensure_dataset(name)
+        (train_g, val_g, test_g, (e2i, i2e), (r2i, i2r),
+         (min_edges, max_edges), _) = load_data_as_list(name)
+        use_padding = config.get("use_padding", name.startswith("wd-"))
+        layout = build_vocab_layout(len(e2i), len(r2i), min_edges, max_edges,
+                                    use_padding)
+        order = config.get("triple_order", "keep")
+        permute = config.get("permute_triples", False)
+        enc = lambda graphs, perm: encode_graphs(
+            graphs, layout, triple_order=order, i2e=i2e, i2r=i2r, permute=perm)
+        self.train = enc(train_g, permute)
+        self.val = enc(val_g, permute)
+        self.test = enc(test_g, permute)
+        self.train_g, self.val_g, self.test_g = train_g, val_g, test_g
+        self.e2i, self.i2e, self.r2i, self.i2r = e2i, i2e, r2i, i2r
+        self.layout = layout
+        self.name = name
+
+    def device_train(self):
+        return jnp.asarray(self.train.triples), jnp.asarray(self.train.seq)
+
+    def device_eval(self, split, batch_size):
+        """Pad split to a multiple of batch_size; returns (triples, seq,
+        row_weights) device arrays."""
+        data = getattr(self, split)
+        n = len(data)
+        m = max(1, math.ceil(n / batch_size)) * batch_size
+        triples = np.zeros((m,) + data.triples.shape[1:], data.triples.dtype)
+        seq = np.zeros((m,) + data.seq.shape[1:], data.seq.dtype)
+        w = np.zeros((m,), np.float32)
+        triples[:n] = data.triples
+        seq[:n] = data.seq
+        w[:n] = 1.0
+        return jnp.asarray(triples), jnp.asarray(seq), jnp.asarray(w)
+
+
+def derive_config(config: dict, bundle: DataBundle) -> dict:
+    """Reference train.py:427-438: mutate config with dataset-derived keys."""
+    layout = bundle.layout
+    config.update({
+        "n_entities": layout.num_entities,
+        "n_relations": layout.num_relations,
+        "pad_eid": layout.pad_eid,
+        "pad_rid": layout.pad_rid,
+        "seq_len": layout.seq_len,
+        "vocab_size": layout.vocab_size,
+        "special_tokens": layout.special_tokens,
+        "ENT_BASE": layout.ent_base,
+        "REL_BASE": layout.rel_base,
+        "max_edges": layout.max_edges,
+        "min_edges": layout.min_edges,
+        "use_padding": layout.use_padding,
+    })
+    return config
+
+
+# ---------------------------------------------------------------------------
+# Sampling + semantic verification (hot loop #2, SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+class SamplerBank:
+    """Caches compiled samplers across epochs (jit caches key on function
+    identity, so the sampler must be built once per run)."""
+
+    def __init__(self, model, layout, config, chunk=512):
+        self.model = model
+        self.layout = layout
+        self.config = config
+        self.chunk = int(config.get("sample_chunk", chunk))
+        self._lm_sampler = None
+        self._latent_sampler = None
+
+    def sample_sequences(self, params, rng, target_n):
+        """LM (ARK family) stochastic sampling, reference call surface
+        train.py:513-532: sample=True, temperature/top_p(0.9 default)/top_k."""
+        if self._lm_sampler is None:
+            self._lm_sampler = make_sampler(
+                self.model, self.layout, sample=True,
+                temperature=self.config.get("temperature", 1.0),
+                top_p=self.config.get("top_p", 0.9),
+                top_k=self.config.get("top_k", 0))
+        outs = []
+        got = 0
+        while got < target_n:
+            rng, k = jax.random.split(rng)
+            outs.append(np.asarray(self._lm_sampler(params, k, self.chunk)))
+            got += self.chunk
+        return np.concatenate(outs)[:target_n]
+
+    def sample_latent_sequences(self, params, rng, target_n):
+        """SAIL family: z ~ N(0, I) -> greedy decode (beam=1, the reference's
+        training-time evaluation path, ablation_study.py:682-720)."""
+        if self._latent_sampler is None:
+            self._latent_sampler = make_sampler(self.model, self.layout,
+                                                sample=False)
+        d_latent = self.config["d_latent"]
+        outs = []
+        got = 0
+        while got < target_n:
+            rng, kz, ks = jax.random.split(rng, 3)
+            z = jax.random.normal(kz, (self.chunk, d_latent))
+            outs.append(np.asarray(self._latent_sampler(params, ks, z)))
+            got += self.chunk
+        return np.concatenate(outs)[:target_n]
+
+
+def sample_and_evaluate(model, params, bundle, config, rng, target_n,
+                        sampler_bank, title):
+    """Generate target_n graphs, run semantic evaluation; returns
+    (results dict with percentage keys, int graphs)."""
+    layout = bundle.layout
+    if model.kind == "lm":
+        seqs = sampler_bank.sample_sequences(params, rng, target_n)
+    else:
+        seqs = sampler_bank.sample_latent_sequences(params, rng, target_n)
+    graphs = seqs_to_triples_batch(seqs, layout.special_tokens,
+                                   layout.ent_base, layout.rel_base)
+    labels = ints_to_labels(graphs, bundle.i2e, bundle.i2r)
+    print(f"\nExample graphs ({title}):")
+    for k in range(min(5, len(labels))):
+        print(f"[{k}] {labels[k]}")
+    verifier = get_verifier(bundle.name)
+    sem = run_semantic_evaluation(labels, bundle.train_g, bundle.i2e,
+                                  bundle.i2r, verifier, title=title)
+    return sem.organized_results["results"], graphs
+
+
+# ---------------------------------------------------------------------------
+# The training run
+# ---------------------------------------------------------------------------
+
+def run_training(config: dict, checkpoint_dir: str, run) -> dict:
+    """Executes the full reference training protocol; returns final metrics."""
+    model_type = config.get("model_type", "ARK")
+    config["model_type"] = model_type
+    is_vae = model_type in ("SAIL", "t-SAIL")
+
+    if config.get("use_test_for_final_eval", False):
+        warnings.warn(
+            "Test set evaluation ENABLED! Only use for final evaluation, "
+            "NOT for hyperparameter tuning!", UserWarning, stacklevel=2)
+
+    bundle = DataBundle(config)
+    config = derive_config(config, bundle)
+    layout = bundle.layout
+    print(f"Dataset: {bundle.name}")
+    print(f"Entities: {layout.num_entities}, Relations: {layout.num_relations}, "
+          f"vocab: {layout.vocab_size}, seq_len: {layout.seq_len}")
+
+    model = build_model(config)
+    print(f"Using model: {model_type}")
+    rng = jax.random.key(int(config.get("seed", 0)))
+    rng, k_init = jax.random.split(rng)
+    state = create_train_state(model, k_init)
+
+    start_epoch = 0
+    best_val_loss = float("inf")
+    # functional resume (reference declares but never reads these keys)
+    if config.get("resume_from_checkpoint") and config.get("checkpoint_path"):
+        path = config["checkpoint_path"]
+        if os.path.exists(path):
+            ckpt = load_checkpoint(path)
+            state = TrainState(to_device_tree(ckpt["model_state_dict"]),
+                               to_device_tree(ckpt["optimizer_state_dict"]))
+            start_epoch = int(ckpt["epoch"])
+            best_val_loss = float(ckpt.get("val_loss", float("inf")))
+            print(f"Resumed from {path} at epoch {start_epoch}")
+
+    train_epoch_fn, eval_epoch_fn = make_epoch_fns(model, layout, config)
+    train_triples, train_seq = bundle.device_train()
+    val_triples, val_seq, val_w = bundle.device_eval("val", config["batch_size"])
+    sampler_bank = SamplerBank(model, layout, config)
+
+    best_comp_bits = 1e12
+    run.log({"objective": best_comp_bits})
+
+    num_epochs = int(config["num_epochs"])
+    verify_every = int(config.get("verify_every", 10))
+    save_every = int(config.get("save_every", 10))
+    comp_every = int(config.get("compression_log_every", 5))
+    sample_frac = float(config.get("sample_frac", 0.1))
+    target_n = int(config.get("num_generated_latent_graphs", 1000))
+
+    vocabs = {"e2i": bundle.e2i, "i2e": bundle.i2e,
+              "r2i": bundle.r2i, "i2r": bundle.i2r}
+    dataset_meta = {"dataset": bundle.name, "n_entities": len(bundle.i2e),
+                    "n_relations": len(bundle.i2r)}
+
+    def _ckpt(path, epoch, val_loss):
+        sched_state = ({"last_epoch": epoch}
+                       if config.get("lr_scheduler", False) else None)
+        save_checkpoint(path, epoch=epoch, params=state.params,
+                        opt_state=state.opt_state, scheduler_state=sched_state,
+                        val_loss=val_loss, config=config, vocabs=vocabs,
+                        dataset_meta=dataset_meta)
+
+    for epoch in range(start_epoch, num_epochs):
+        print(f"\nEpoch {epoch + 1}/{num_epochs}")
+        lr = lr_for_epoch(config, epoch)
+        b = beta_for_epoch(config, epoch, annealed=is_vae)
+
+        rng, k_train, k_val, k_comp, k_sample = jax.random.split(rng, 5)
+        state, train_m = train_epoch_fn(state, train_triples, train_seq,
+                                        k_train, lr, b)
+        val_m = eval_epoch_fn(state.params, val_triples, val_seq, val_w,
+                              k_val, b)
+        train_loss = float(train_m["loss"])
+        train_recon = float(train_m["reconstruction_loss"])
+        train_kl = float(train_m["kl_loss"])
+        val_loss = float(val_m["loss"])
+        val_recon = float(val_m["reconstruction_loss"])
+        val_kl = float(val_m["kl_loss"])
+
+        do_comp = (epoch + 1) % comp_every == 0
+        if do_comp:
+            stats = posterior_bits(model, state.params, bundle.val, layout,
+                                   sample_frac=sample_frac, rng=k_comp)
+            print("\n[Posterior Compression on Validation Set]")
+            print(f" Avg total bits: {stats['avg_total_bits']:.2f}")
+            print(f" Avg AR bits:    {stats['avg_ar_bits']:.2f}")
+            run.log({
+                "val/compression_bits": stats["avg_total_bits"],
+                "val/compression_kl_bits": stats["avg_kl_bits"],
+                "val/compression_edge_bits": stats["avg_ar_bits"],
+                "val/compression_entity_bits": stats["avg_ar_bits"],
+            })
+            vcb = float(stats["avg_total_bits"])
+            if math.isfinite(vcb) and vcb < best_comp_bits:
+                best_comp_bits = vcb
+        run.log({"objective": best_comp_bits})
+
+        log_dict = {
+            "epoch": epoch + 1,
+            "train/loss": train_loss,
+            "train/reconstruction_loss": train_recon,
+            "val/loss": val_loss,
+            "val/reconstruction_loss": val_recon,
+            "learning_rate": lr,
+        }
+        if is_vae:
+            log_dict["train/kl_loss"] = train_kl
+            log_dict["val/kl_loss"] = val_kl
+
+        if (epoch + 1) % verify_every == 0:
+            title = ("graphs from random latent" if is_vae
+                     else "decoder-only samples")
+            res, graphs = sample_and_evaluate(model, state.params, bundle,
+                                              config, k_sample, target_n,
+                                              sampler_bank, title)
+            prefix = "latent_" if is_vae else ""
+            run.log({
+                f"verification/{prefix}validity_rate": res.get("semantics", 0.0) / 100.0,
+                f"verification/{prefix}novelty_rate": res.get("novel", 0.0) / 100.0,
+                f"verification/{prefix}valid_novelty_rate": res.get("novel_semantics", 0.0) / 100.0,
+            })
+            if is_vae:
+                uniq = {canonical_graph_string(g) for g in graphs}
+                run.log({"diversity/unique_graphs": len(uniq),
+                         "diversity/ratio": len(uniq) / max(1, len(graphs))})
+            print(f"Verification — validity: {res.get('semantics', 0.0):.2f}% | "
+                  f"novelty: {res.get('novel', 0.0):.2f}% | "
+                  f"valid&novel: {res.get('novel_semantics', 0.0):.2f}%")
+
+        run.log(log_dict)
+        if is_vae:
+            print(f"Train Loss: {train_loss:.4f} (Recon: {train_recon:.4f}, KL: {train_kl:.4f})")
+            print(f"Val   Loss: {val_loss:.4f} (Recon: {val_recon:.4f}, KL: {val_kl:.4f})")
+        else:
+            print(f"Train Loss: {train_loss:.4f} (Recon: {train_recon:.4f})")
+            print(f"Val   Loss: {val_loss:.4f} (Recon: {val_recon:.4f})")
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            _ckpt(os.path.join(checkpoint_dir,
+                               f"{bundle.name}_{model_type}_best_model.pt"),
+                  epoch + 1, val_loss)
+            print(f"Saved best model with validation loss: {val_loss:.4f}")
+        if (epoch + 1) % save_every == 0:
+            _ckpt(os.path.join(
+                checkpoint_dir,
+                f"{bundle.name}_{model_type}_checkpoint_epoch_{epoch + 1}.pt"),
+                epoch + 1, val_loss)
+
+    # ------------------------- final validation ----------------------------
+    final_metrics = final_validation(model, state, bundle, config, run, rng,
+                                     sampler_bank, eval_epoch_fn)
+    run.log(final_metrics)
+    return final_metrics
+
+
+def final_validation(model, state, bundle, config, run, rng, sampler_bank,
+                     eval_epoch_fn):
+    """Reference final_validation (train.py:132-239): eval-set loss +
+    compression + sampled-graph semantic evaluation."""
+    use_test = config.get("use_test_for_final_eval", False)
+    eval_set_name = "test" if use_test else "validation"
+    split = "test" if use_test else "val"
+    print(f"\n{'=' * 50}\nFinal evaluation on {eval_set_name} set...")
+    if use_test:
+        warnings.warn("Using TEST SET for final evaluation", UserWarning)
+
+    is_vae = model.kind == "vae"
+    b = 1.0
+    layout = bundle.layout
+    rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
+    triples, seq, w = bundle.device_eval(split, config["batch_size"])
+    m = eval_epoch_fn(state.params, triples, seq, w, k_eval, b)
+    stats = posterior_bits(model, state.params, getattr(bundle, split), layout,
+                           sample_frac=float(config.get("sample_frac", 0.1)),
+                           rng=k_comp)
+
+    log_dict = {
+        f"final_{eval_set_name}/loss": float(m["loss"]),
+        f"final_{eval_set_name}/reconstruction_loss": float(m["reconstruction_loss"]),
+        f"final_{eval_set_name}/kl_loss": float(m["kl_loss"]),
+        f"final_{eval_set_name}/entity_loss": 0.0,
+        f"final_{eval_set_name}/compression_bits": stats["avg_total_bits"],
+        f"final_{eval_set_name}/compression_kl_bits": stats["avg_kl_bits"],
+        f"final_{eval_set_name}/compression_edge_bits": stats["avg_ar_bits"],
+        f"final_{eval_set_name}/compression_entity_bits": stats["avg_ar_bits"],
+    }
+    print(f"Final compression: {stats['avg_total_bits']:.2f} bits/graph")
+
+    target_n = int(config.get("num_generated_latent_graphs", 1000))
+    title = "graphs from random latent" if is_vae else "ARK samples"
+    res, graphs = sample_and_evaluate(model, state.params, bundle, config,
+                                      k_sample, target_n, sampler_bank, title)
+    prefix = "latent_" if is_vae else ""
+    log_dict.update({
+        f"final_{eval_set_name}/{prefix}validity_rate": res.get("semantics", 0.0) / 100.0,
+        f"final_{eval_set_name}/{prefix}novelty_rate": res.get("novel", 0.0) / 100.0,
+        f"final_{eval_set_name}/{prefix}valid_novelty_rate": res.get("novel_semantics", 0.0) / 100.0,
+    })
+    if is_vae:
+        uniq = {canonical_graph_string(g) for g in graphs}
+        run.log({"diversity/unique_graphs": len(uniq),
+                 "diversity/ratio": len(uniq) / max(1, len(graphs))})
+    print(f"Final {eval_set_name} — validity: {res.get('semantics', 0.0):.2f}% | "
+          f"novelty: {res.get('novel', 0.0):.2f}% | "
+          f"valid&novel: {res.get('novel_semantics', 0.0):.2f}%")
+    print("=" * 50)
+    return log_dict

@@ -1,0 +1,127 @@
+"""End-to-end trainer test: the full CLI path on a tiny syn-paths config —
+train, validate, compression, sampling + verification, checkpointing,
+resume (SURVEY §7 minimum end-to-end slice).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+
+def _tiny_config(tmp_path, **over):
+    cfg = dict(
+        model_type="ARK", d_model=32, d_latent=8, n_heads=2, n_layers=2,
+        batch_size=32, learning_rate=1e-3, num_epochs=2, beta0=0.1, beta1=1.0,
+        dataset="syn-paths", shuffle_train=False, use_padding=False,
+        triple_order="keep", permute_triples=True,
+        num_generated_latent_graphs=64, sample_frac=0.05, beam_width=2,
+        lr_scheduler=True, save_every=2, resume_from_checkpoint=False,
+        checkpoint_path="", verify_every=2, experiment_name="e2e_test",
+        use_test_for_final_eval=True, compression_log_every=2,
+        sample_chunk=64, seed=0,
+    )
+    cfg.update(over)
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+@pytest.mark.parametrize("model_type", ["ARK", "SAIL"])
+def test_train_cli_end_to_end(small_datasets, tmp_path, model_type):
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, model_type=model_type)
+    ckpt_dir = str(tmp_path / "ckpts")
+    final = main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+
+    # final metric surface (reference train.py:171-231)
+    assert "final_test/loss" in final
+    assert "final_test/compression_bits" in final
+    key = ("final_test/latent_validity_rate" if model_type == "SAIL"
+           else "final_test/validity_rate")
+    assert 0.0 <= final[key] <= 1.0
+
+    # run dir artifacts: effective config + metrics.jsonl + checkpoints
+    runs = os.listdir(ckpt_dir)
+    assert len(runs) == 1
+    run_dir = os.path.join(ckpt_dir, runs[0])
+    assert os.path.exists(os.path.join(run_dir, "effective_config.yaml"))
+    metrics_file = os.path.join(run_dir, "metrics.jsonl")
+    assert os.path.exists(metrics_file)
+    logged_keys = set()
+    with open(metrics_file) as f:
+        for line in f:
+            logged_keys.update(json.loads(line).keys())
+    expected = {"objective", "epoch", "train/loss", "train/reconstruction_loss",
+                "val/loss", "val/reconstruction_loss", "learning_rate",
+                "val/compression_bits", "val/compression_kl_bits",
+                "val/compression_edge_bits", "val/compression_entity_bits"}
+    if model_type == "SAIL":
+        expected |= {"train/kl_loss", "val/kl_loss",
+                     "verification/latent_validity_rate",
+                     "diversity/unique_graphs", "diversity/ratio"}
+    else:
+        expected |= {"verification/validity_rate",
+                     "verification/novelty_rate",
+                     "verification/valid_novelty_rate"}
+    assert expected <= logged_keys, expected - logged_keys
+
+    best = os.path.join(run_dir, f"syn-paths_{model_type}_best_model.pt")
+    assert os.path.exists(best)
+    periodic = os.path.join(run_dir,
+                            f"syn-paths_{model_type}_checkpoint_epoch_2.pt")
+    assert os.path.exists(periodic)
+
+    # checkpoint payload schema (reference train.py:576-585)
+    from ark_tpu.utils import load_checkpoint
+    ckpt = load_checkpoint(best)
+    for k in ["epoch", "model_state_dict", "optimizer_state_dict",
+              "scheduler_state_dict", "val_loss", "config", "vocabs",
+              "dataset_meta"]:
+        assert k in ckpt, k
+    assert set(ckpt["vocabs"]) == {"e2i", "i2e", "r2i", "i2r"}
+    assert ckpt["dataset_meta"]["dataset"] == "syn-paths"
+
+
+def test_resume_from_checkpoint(small_datasets, tmp_path):
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=2)
+    ckpt_dir = str(tmp_path / "c1")
+    main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    ckpt_path = os.path.join(run_dir, "syn-paths_ARK_checkpoint_epoch_2.pt")
+
+    cfg_path2 = _tiny_config(tmp_path, num_epochs=4,
+                             resume_from_checkpoint=True,
+                             checkpoint_path=ckpt_path)
+    ckpt_dir2 = str(tmp_path / "c2")
+    final = main(["--config", cfg_path2, "--checkpoint-dir", ckpt_dir2])
+    assert "final_test/loss" in final
+    run_dir2 = os.path.join(ckpt_dir2, os.listdir(ckpt_dir2)[0])
+    with open(os.path.join(run_dir2, "metrics.jsonl")) as f:
+        epochs = [json.loads(l).get("epoch") for l in f]
+    epochs = [e for e in epochs if e is not None]
+    assert epochs == [3, 4]  # resumed after epoch 2
+
+
+def test_kgvae_compat_entrypoint(small_datasets, tmp_path):
+    import subprocess
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=1, verify_every=5,
+                            compression_log_every=5)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from kgvae.experiments.train import main;"
+         f"main(['--config', {cfg_path!r}, '--checkpoint-dir', {str(tmp_path / 'kc')!r}])"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Training and evaluation completed!" in out.stdout
