@@ -76,26 +76,33 @@ def build_model(config: dict) -> Model:
     n_layers = config["n_layers"]
     seq_len = config["seq_len"]
     vocab_size = config["vocab_size"]
+    # pad the embedding/head vocab dimension to a multiple (TPU lane
+    # alignment and mesh-divisibility for vocab sharding); logits are sliced
+    # back to vocab_size so the math is exactly the unpadded model's
+    mult = int(config.get("vocab_pad_multiple", 1))
+    vocab_padded = ((vocab_size + mult - 1) // mult) * mult
     dtype = _dtype(config)
     dec_dropout = config.get("dec_dropout", 0.1)
     tied = bool(config.get("tie_weights", True))
 
     if mt == "ARK":
         def init(rng):
-            return decoders.gru_lm_init(rng, vocab_size, d_model, n_layers,
+            return decoders.gru_lm_init(rng, vocab_padded, d_model, n_layers,
                                         seq_len, tie_weights=tied)
 
         def apply(params, seq, *, rng=None, deterministic=True):
             return decoders.gru_lm_apply(
                 params, seq, dropout_rate=dec_dropout, rng=rng,
-                deterministic=deterministic, tied=tied, dtype=dtype)
+                deterministic=deterministic, tied=tied, dtype=dtype,
+                vocab_out=vocab_size)
 
         def decode_state(params, batch):
             return decoders.gru_lm_state(params, batch, dtype)
 
         def decode_step(params, state, token, pos):
             return decoders.gru_lm_step(params, state, token, pos,
-                                        tied=tied, dtype=dtype)
+                                        tied=tied, dtype=dtype,
+                                        vocab_out=vocab_size)
 
         return Model(config, "lm", "gru", init, apply, decode_state, decode_step)
 
@@ -103,20 +110,22 @@ def build_model(config: dict) -> Model:
         n_heads = config["n_heads"]
 
         def init(rng):
-            return decoders.txf_lm_init(rng, vocab_size, d_model, n_heads,
+            return decoders.txf_lm_init(rng, vocab_padded, d_model, n_heads,
                                         n_layers, seq_len, tie_weights=tied)
 
         def apply(params, seq, *, rng=None, deterministic=True):
             return decoders.txf_lm_apply(
                 params, seq, n_heads, dropout_rate=dec_dropout, rng=rng,
-                deterministic=deterministic, tied=tied, dtype=dtype)
+                deterministic=deterministic, tied=tied, dtype=dtype,
+                vocab_out=vocab_size)
 
         def decode_state(params, batch):
             return decoders.txf_lm_state(params, batch, seq_len, dtype)
 
         def decode_step(params, state, token, pos):
             return decoders.txf_lm_step(params, state, token, pos, n_heads,
-                                        tied=tied, dtype=dtype)
+                                        tied=tied, dtype=dtype,
+                                        vocab_out=vocab_size)
 
         return Model(config, "lm", "txf", init, apply, decode_state, decode_step)
 
@@ -135,7 +144,7 @@ def build_model(config: dict) -> Model:
                     k_enc, n_entities, n_relations, d_model, d_latent,
                     n_layers, pad_eid=pad_eid, pad_rid=pad_rid),
                 "dec": decoders.gru_cond_init(
-                    k_dec, vocab_size, d_model, d_latent, n_layers,
+                    k_dec, vocab_padded, d_model, d_latent, n_layers,
                     tie_weights=tied),
             }
 
@@ -148,7 +157,8 @@ def build_model(config: dict) -> Model:
             z, mu, logv = encode(params, triples, k_enc)
             logits = decoders.gru_cond_apply(
                 params["dec"], z, seq, dropout_rate=dec_dropout, rng=k_dec,
-                deterministic=deterministic, tied=tied, dtype=dtype)
+                deterministic=deterministic, tied=tied, dtype=dtype,
+                vocab_out=vocab_size)
             return logits, mu, logv
 
         def decode_state(params, z):
@@ -156,7 +166,8 @@ def build_model(config: dict) -> Model:
 
         def decode_step(params, state, token, pos):
             return decoders.gru_cond_step(params["dec"], state, token, pos,
-                                          tied=tied, dtype=dtype)
+                                          tied=tied, dtype=dtype,
+                                          vocab_out=vocab_size)
 
         return Model(config, "vae", "gru", init, apply, decode_state,
                      decode_step, encode=encode)
@@ -171,7 +182,7 @@ def build_model(config: dict) -> Model:
                 k_enc, n_entities, n_relations, d_model, d_latent, n_heads,
                 n_layers, pad_eid=pad_eid, pad_rid=pad_rid),
             "dec": decoders.txf_cond_init(
-                k_dec, vocab_size, d_model, d_latent, n_heads, n_layers,
+                k_dec, vocab_padded, d_model, d_latent, n_heads, n_layers,
                 seq_len),
         }
 
@@ -185,7 +196,7 @@ def build_model(config: dict) -> Model:
         z, mu, logv = encode(params, triples, k_enc, deterministic=deterministic)
         logits = decoders.txf_cond_apply(
             params["dec"], z, seq, n_heads, rng=k_dec,
-            deterministic=deterministic, dtype=dtype)
+            deterministic=deterministic, dtype=dtype, vocab_out=vocab_size)
         return logits, mu, logv
 
     def decode_state(params, z):
@@ -193,7 +204,8 @@ def build_model(config: dict) -> Model:
 
     def decode_step(params, state, token, pos):
         return decoders.txf_cond_step(params["dec"], state, token, pos,
-                                      n_heads, dtype=dtype)
+                                      n_heads, dtype=dtype,
+                                      vocab_out=vocab_size)
 
     return Model(config, "vae", "txf", init, apply, decode_state, decode_step,
                  encode=encode)

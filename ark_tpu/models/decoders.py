@@ -49,14 +49,21 @@ def _head_init(key, d_model, vocab_size, tie_weights):
     return linear_init(key, d_model, vocab_size)
 
 
-def _head_apply(p_head, tok_emb, y, tied):
+def _head_apply(p_head, tok_emb, y, tied, vocab_out=None):
+    """vocab_out: true vocab size; when the embedding/head are padded to a
+    multiple (TPU lane alignment / vocab sharding divisibility), logits are
+    sliced back so the math is exactly the unpadded model's."""
     if tied:
         logits = jnp.dot(y, tok_emb.astype(y.dtype).T,
                          preferred_element_type=jnp.float32)
-        return logits + p_head["b"]
-    logits = jnp.dot(y, p_head["w"].astype(y.dtype),
-                     preferred_element_type=jnp.float32)
-    return logits + p_head["b"]
+        logits = logits + p_head["b"]
+    else:
+        logits = jnp.dot(y, p_head["w"].astype(y.dtype),
+                         preferred_element_type=jnp.float32)
+        logits = logits + p_head["b"]
+    if vocab_out is not None and logits.shape[-1] != vocab_out:
+        logits = logits[..., :vocab_out]
+    return logits
 
 
 # ---------------------------------------------------------------------------
@@ -138,12 +145,12 @@ def gru_lm_init(key, vocab_size, d_model, n_layers, seq_len, tie_weights=True):
 
 
 def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
-                 tied=True, dtype=jnp.float32):
+                 tied=True, dtype=jnp.float32, vocab_out=None):
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     y, _ = gru_apply(p["gru"], x, dropout_rate=dropout_rate, rng=rng,
                      deterministic=deterministic)
-    return _head_apply(p["out"], p["tok_emb"], y, tied)
+    return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
 def gru_lm_state(p, batch, dtype=jnp.float32):
@@ -152,11 +159,12 @@ def gru_lm_state(p, batch, dtype=jnp.float32):
     return jnp.zeros((n_layers, batch, h), dtype)
 
 
-def gru_lm_step(p, state, token, pos, *, tied=True, dtype=jnp.float32):
+def gru_lm_step(p, state, token, pos, *, tied=True, dtype=jnp.float32,
+                vocab_out=None):
     """token [B] -> (logits [B, V], state)."""
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)
     y, state = gru_step(p["gru"], x, state)
-    return _head_apply(p["out"], p["tok_emb"], y, tied), state
+    return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out), state
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +183,8 @@ def txf_lm_init(key, vocab_size, d_model, n_heads, n_layers, seq_len,
 
 
 def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                 deterministic=True, tied=True, dtype=jnp.float32):
+                 deterministic=True, tied=True, dtype=jnp.float32,
+                 vocab_out=None):
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     mask = causal_mask(l)
@@ -185,7 +194,7 @@ def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
         x = encoder_layer(lp, x, n_heads, attn_mask=mask,
                           dropout_rate=dropout_rate, rng=lr,
                           deterministic=deterministic)
-    return _head_apply(p["out"], p["tok_emb"], x, tied)
+    return _head_apply(p["out"], p["tok_emb"], x, tied, vocab_out)
 
 
 def txf_lm_state(p, batch, seq_len, dtype=jnp.float32):
@@ -193,13 +202,14 @@ def txf_lm_state(p, batch, seq_len, dtype=jnp.float32):
     return _empty_caches(len(p["txf"]), batch, seq_len, d, dtype)
 
 
-def txf_lm_step(p, state, token, pos, n_heads, *, tied=True, dtype=jnp.float32):
+def txf_lm_step(p, state, token, pos, n_heads, *, tied=True,
+                dtype=jnp.float32, vocab_out=None):
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)[:, None, :]
     new_state = []
     for lp, cache in zip(p["txf"], state):
         x, cache = _encoder_layer_step(lp, x, cache, pos, n_heads)
         new_state.append(cache)
-    logits = _head_apply(p["out"], p["tok_emb"], x[:, 0, :], tied)
+    logits = _head_apply(p["out"], p["tok_emb"], x[:, 0, :], tied, vocab_out)
     return logits, new_state
 
 
@@ -223,23 +233,25 @@ def _gru_cond_h0(p, z, n_layers, dtype):
 
 
 def gru_cond_apply(p, z, seq, *, dropout_rate=0.1, rng=None,
-                   deterministic=True, tied=True, dtype=jnp.float32):
+                   deterministic=True, tied=True, dtype=jnp.float32,
+                   vocab_out=None):
     n_layers = len(p["gru"]["layers"])
     x = p["tok_emb"][seq].astype(dtype)
     h0 = _gru_cond_h0(p, z, n_layers, dtype)
     y, _ = gru_apply(p["gru"], x, h0, dropout_rate=dropout_rate, rng=rng,
                      deterministic=deterministic)
-    return _head_apply(p["out"], p["tok_emb"], y, tied)
+    return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
 def gru_cond_state(p, z, dtype=jnp.float32):
     return _gru_cond_h0(p, z, len(p["gru"]["layers"]), dtype)
 
 
-def gru_cond_step(p, state, token, pos, *, tied=True, dtype=jnp.float32):
+def gru_cond_step(p, state, token, pos, *, tied=True, dtype=jnp.float32,
+                  vocab_out=None):
     x = p["tok_emb"][token].astype(dtype)
     y, state = gru_step(p["gru"], x, state)
-    return _head_apply(p["out"], p["tok_emb"], y, tied), state
+    return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out), state
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +274,7 @@ def txf_cond_memory(p, z, dtype=jnp.float32):
 
 
 def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                   deterministic=True, dtype=jnp.float32):
+                   deterministic=True, dtype=jnp.float32, vocab_out=None):
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     mem = txf_cond_memory(p, z, dtype)
@@ -273,7 +285,10 @@ def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
         x = decoder_layer(lp, x, mem, n_heads, tgt_mask=mask,
                           dropout_rate=dropout_rate, rng=lr,
                           deterministic=deterministic)
-    return linear(p["out"], x)
+    logits = linear(p["out"], x)
+    if vocab_out is not None and logits.shape[-1] != vocab_out:
+        logits = logits[..., :vocab_out]
+    return logits
 
 
 def txf_cond_state(p, z, seq_len, dtype=jnp.float32):
@@ -285,11 +300,14 @@ def txf_cond_state(p, z, seq_len, dtype=jnp.float32):
     }
 
 
-def txf_cond_step(p, state, token, pos, n_heads, *, dtype=jnp.float32):
+def txf_cond_step(p, state, token, pos, n_heads, *, dtype=jnp.float32,
+                  vocab_out=None):
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)[:, None, :]
     new_caches = []
     for lp, cache in zip(p["txf"], state["caches"]):
         x, cache = _decoder_layer_step(lp, x, state["mem"], cache, pos, n_heads)
         new_caches.append(cache)
     logits = linear(p["out"], x[:, 0, :])
+    if vocab_out is not None and logits.shape[-1] != vocab_out:
+        logits = logits[..., :vocab_out]
     return logits, {"mem": state["mem"], "caches": new_caches}
