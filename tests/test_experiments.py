@@ -1,0 +1,110 @@
+"""Conditioned-generation and latent-interpolation experiment tests, driven
+from a tiny trained wd-movies SAIL checkpoint.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def wd_movies_sail_ckpt(small_datasets, tmp_path_factory):
+    from ark_tpu.experiments.train import main
+
+    tmp = tmp_path_factory.mktemp("wdm")
+    cfg = dict(
+        model_type="SAIL", d_model=16, d_latent=8, n_heads=2, n_layers=2,
+        batch_size=32, learning_rate=1e-3, num_epochs=1, beta0=0.1, beta1=1.0,
+        dataset="wd-movies", shuffle_train=False, use_padding=True,
+        triple_order="keep", permute_triples=False,
+        num_generated_latent_graphs=32, sample_frac=0.05, beam_width=2,
+        lr_scheduler=True, save_every=5, resume_from_checkpoint=False,
+        checkpoint_path="", verify_every=5, experiment_name="wdm_test",
+        use_test_for_final_eval=False, compression_log_every=5,
+        sample_chunk=32, seed=0,
+    )
+    cfg_path = tmp / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    ckpt_dir = str(tmp / "ckpts")
+    main(["--config", str(cfg_path), "--checkpoint-dir", ckpt_dir])
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    return str(cfg_path), run_dir
+
+
+def test_conditioned_generation(wd_movies_sail_ckpt, capsys):
+    from ark_tpu.experiments.conditioned import main
+
+    cfg_path, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    assert os.path.exists(ckpt)
+    main(["--config", cfg_path, "--checkpoints", ckpt, "--num-samples", "3",
+          "--seed", "1"])
+    out = capsys.readouterr().out
+    assert "===" in out
+
+    # forcing semantics: the first triple's relation/tail are pinned
+    from ark_tpu.experiments.conditioned import (
+        build_from_checkpoint, conditional_generate, ids_for_condition,
+        load_run_checkpoint, _layout_from_config)
+
+    config, state, vocabs = load_run_checkpoint(ckpt)
+    model, params, cfg, kind = build_from_checkpoint(config, state)
+    rid, oid = ids_for_condition(vocabs, cfg, "has_director", "Tim Burton")
+    layout = _layout_from_config(cfg)
+    seqs = np.asarray(conditional_generate(model, kind, cfg, layout, params,
+                                           rid, oid, 4, seed=0))
+    assert (seqs[:, 2] == rid).all()
+    assert (seqs[:, 3] == oid).all()
+
+
+def test_interpolation_probes(wd_movies_sail_ckpt):
+    from ark_tpu.experiments.interpolation import (
+        LatentDecoder,
+        jaccard,
+        latent_flip_rate,
+        latent_smoothness_score,
+        load_model,
+        smoothness_line_check,
+    )
+
+    cfg_path, run_dir = wd_movies_sail_ckpt
+    model, params, config, path, vocabs, meta, layout = load_model(
+        run_dir, "wd-movies", "SAIL")
+    dec = LatentDecoder(model, params, layout)
+    i2e, i2r = vocabs["i2e"], vocabs["i2r"]
+
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard({1}, set()) == 0.0
+    assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+
+    local, glob = smoothness_line_check(dec, i2e, i2r, steps=2, epsilon=0.05,
+                                        beam=2)
+    assert 0.0 <= local <= 1.0 and 0.0 <= glob <= 1.0
+    al, ag = latent_smoothness_score(dec, steps=2, epsilon=0.05, n_anchors=1,
+                                     n_dirs=1, beam=1)
+    assert 0.0 <= al <= 1.0 and 0.0 <= ag <= 1.0
+    fr, basin = latent_flip_rate(dec, steps=3, epsilon=0.05, n_anchors=1,
+                                 n_dirs=1, beam=1)
+    assert 0.0 <= fr <= 1.0 and basin >= 1.0
+
+
+def test_interpolation_figures(wd_movies_sail_ckpt, tmp_path):
+    from ark_tpu.experiments.interpolation import (
+        load_model,
+        qualitative_latent_analysis_wd_movies,
+    )
+
+    cfg_path, run_dir = wd_movies_sail_ckpt
+    model, params, config, path, vocabs, meta, layout = load_model(
+        run_dir, "wd-movies", "SAIL")
+    out_dir = str(tmp_path / "figures")
+    qualitative_latent_analysis_wd_movies(model, params, layout, vocabs,
+                                          output_dir=out_dir, n_samples=60)
+    made = set(os.listdir(out_dir))
+    assert "latent_tsne_movies.pdf" in made
+    assert "latent_tsne_movies_top10.pdf" in made
+    # interpolation figures require a disjoint genre pair; should exist on 60
+    assert "latent_interpolation.pdf" in made
+    assert "interpolation_sequence.pdf" in made
