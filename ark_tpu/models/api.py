@@ -46,6 +46,9 @@ class Model:
     decode_state: Callable
     decode_step: Callable
     encode: Optional[Callable] = None
+    # fused-CE hooks (tied-head models): hidden states + embedding-layout head
+    features: Optional[Callable] = None   # (params, seq, rng, deterministic) -> y [B, L, D]
+    head: Optional[Callable] = None       # (params) -> (w [Vp, D], b [Vp])
 
     @property
     def model_type(self) -> str:
@@ -104,7 +107,18 @@ def build_model(config: dict) -> Model:
                                         tied=tied, dtype=dtype,
                                         vocab_out=vocab_size)
 
-        return Model(config, "lm", "gru", init, apply, decode_state, decode_step)
+        features = head = None
+        if tied:
+            def features(params, seq, rng=None, deterministic=True):
+                return decoders.gru_lm_features(
+                    params, seq, dropout_rate=dec_dropout, rng=rng,
+                    deterministic=deterministic, dtype=dtype)
+
+            def head(params):
+                return params["tok_emb"], params["out"]["b"]
+
+        return Model(config, "lm", "gru", init, apply, decode_state,
+                     decode_step, features=features, head=head)
 
     if mt == "t-ARK":
         n_heads = config["n_heads"]
@@ -127,7 +141,18 @@ def build_model(config: dict) -> Model:
                                         tied=tied, dtype=dtype,
                                         vocab_out=vocab_size)
 
-        return Model(config, "lm", "txf", init, apply, decode_state, decode_step)
+        features = head = None
+        if tied:
+            def features(params, seq, rng=None, deterministic=True):
+                return decoders.txf_lm_features(
+                    params, seq, n_heads, dropout_rate=dec_dropout, rng=rng,
+                    deterministic=deterministic, dtype=dtype)
+
+            def head(params):
+                return params["tok_emb"], params["out"]["b"]
+
+        return Model(config, "lm", "txf", init, apply, decode_state,
+                     decode_step, features=features, head=head)
 
     # ------------------------------ VAE family ------------------------------
     d_latent = config["d_latent"]

@@ -144,12 +144,20 @@ def gru_lm_init(key, vocab_size, d_model, n_layers, seq_len, tie_weights=True):
     }
 
 
-def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
-                 tied=True, dtype=jnp.float32, vocab_out=None):
+def gru_lm_features(p, seq, *, dropout_rate=0.1, rng=None,
+                    deterministic=True, dtype=jnp.float32):
+    """Hidden states before the output head (for the fused-CE kernel)."""
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     y, _ = gru_apply(p["gru"], x, dropout_rate=dropout_rate, rng=rng,
                      deterministic=deterministic)
+    return y
+
+
+def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
+                 tied=True, dtype=jnp.float32, vocab_out=None):
+    y = gru_lm_features(p, seq, dropout_rate=dropout_rate, rng=rng,
+                        deterministic=deterministic, dtype=dtype)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
@@ -182,9 +190,8 @@ def txf_lm_init(key, vocab_size, d_model, n_heads, n_layers, seq_len,
     }
 
 
-def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                 deterministic=True, tied=True, dtype=jnp.float32,
-                 vocab_out=None):
+def txf_lm_features(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
+                    deterministic=True, dtype=jnp.float32):
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     mask = causal_mask(l)
@@ -194,6 +201,14 @@ def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
         x = encoder_layer(lp, x, n_heads, attn_mask=mask,
                           dropout_rate=dropout_rate, rng=lr,
                           deterministic=deterministic)
+    return x
+
+
+def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
+                 deterministic=True, tied=True, dtype=jnp.float32,
+                 vocab_out=None):
+    x = txf_lm_features(p, seq, n_heads, dropout_rate=dropout_rate, rng=rng,
+                        deterministic=deterministic, dtype=dtype)
     return _head_apply(p["out"], p["tok_emb"], x, tied, vocab_out)
 
 

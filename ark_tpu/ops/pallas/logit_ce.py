@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: fused large-vocabulary logits + cross-entropy.
+
+The wd-articles hot path (BASELINE.json kernel target; SURVEY §7 step 7):
+the decoder's output projection produces [B*L, V] logits with V ~ 59k.
+Materializing them in HBM costs ~320 MB per pass (f32, reference config) and
+the CE forward+backward touches that buffer several times. This kernel never
+materializes the logits: it streams vocabulary blocks through VMEM with an
+online max / sum-exp accumulator (flash-softmax style), and the custom-VJP
+backward recomputes each logits block to form dx / dW / db directly.
+
+  nll[i] = logsumexp_j(x_i . w_j + b_j) - (x_i . w_t + b_t),  t = target[i]
+
+HBM traffic: forward reads x (N*D) + W (V*D) once, writes [N]; backward reads
+them once more and writes dx + dW + db — versus the XLA path's extra O(N*V)
+logits and dlogits round-trips.
+
+Weights are taken in embedding layout [V, D] (the tied-head case: logits =
+y @ emb.T + b, ark_tpu/models/decoders.py _head_apply), so no [D, V]
+transpose is ever materialized. Requires N % 8 == 0, D % 128 == 0,
+V % VBLOCK == 0 (use ``vocab_pad_multiple: 128``); callers check
+``supported()`` and fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VBLOCK = 512  # vocabulary tile (lane-aligned)
+
+
+def supported(n, d, v, vblock=VBLOCK):
+    return n % 8 == 0 and d % 128 == 0 and v % vblock == 0 and n <= 4096
+
+
+# ---------------------------------------------------------------------------
+# Forward: online logsumexp + target logit gather
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
+                m_scr, l_scr, t_scr, *, v_true):
+    """Grid over vocab blocks j. w_ref block is [VBLOCK, D] (embedding rows).
+    Scratch persists across the sequential TPU grid: running max m [N,1],
+    running sum-exp l [N,1], target logit t [N,1]."""
+    j = pl.program_id(0)
+    nv = pl.num_programs(0)
+    vb = w_ref.shape[0]
+    n = x_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        t_scr[:] = jnp.zeros_like(t_scr)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [N, VB]
+    logits = logits + b_ref[0, :].reshape(1, vb)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb
+    logits = jnp.where(cols_g < v_true, logits, -1e30)  # mask vocab padding
+
+    tgt = tgt_ref[:, 0].reshape(n, 1)
+    local = tgt - j * vb
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
+    hit = cols == local
+    t_scr[:] += jnp.sum(jnp.where(hit, logits, 0.0), axis=1, keepdims=True)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True)
+    m_scr[:] = m_new
+
+    @pl.when(j == nv - 1)
+    def _():
+        lse = m_scr[:] + jnp.log(l_scr[:])
+        lse_ref[:] = lse
+        nll_ref[:] = lse - t_scr[:]
+
+
+def _fwd_call(x, w, b, targets, vblock, v_true):
+    n, d = x.shape
+    v = w.shape[0]
+    grid = (v // vblock,)
+    nll, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, v_true=v_true),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vblock, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vblock), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+    )(x, w.reshape(v, d), b.reshape(1, v), targets.reshape(n, 1))
+    return nll[:, 0], lse[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward: recompute block logits, form probs, accumulate dx / dW / db
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, w_ref, b_ref, tgt_ref, lse_ref, g_ref,
+                dx_ref, dw_ref, db_ref, *, v_true):
+    j = pl.program_id(0)
+    vb = w_ref.shape[0]
+    n = x_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = logits + b_ref[0, :].reshape(1, vb)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb
+    logits = jnp.where(cols_g < v_true, logits, -1e30)
+    p = jnp.exp(logits - lse_ref[:])
+
+    tgt = tgt_ref[:, 0].reshape(n, 1)
+    local = tgt - j * vb
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
+    onehot = (cols == local).astype(jnp.float32)
+
+    dlogits = (p - onehot) * g_ref[:]                 # [N, VB]
+    dx_ref[:] += jnp.dot(dlogits, w_ref[:], preferred_element_type=jnp.float32)
+    # dW block (embedding layout [VB, D]) = dlogits^T @ x
+    dw_ref[:] = jax.lax.dot_general(
+        dlogits, x_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)
+
+
+def _bwd_call(x, w, b, targets, lse, g, vblock, v_true):
+    n, d = x.shape
+    v = w.shape[0]
+    grid = (v // vblock,)
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, v_true=v_true),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vblock, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vblock), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vblock, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vblock), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((v, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ],
+    )(x, w.reshape(v, d), b.reshape(1, v), targets.reshape(n, 1),
+      lse.reshape(n, 1), g.reshape(n, 1))
+    return dx, dw, db[0]
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_ce_nll(x, w, b, targets, vblock=VBLOCK, v_true=None):
+    """Per-row NLL of ``targets`` under logits = x @ w.T + b.
+
+    x [N, D] f32, w [V, D] f32 (embedding layout), b [V] f32,
+    targets [N] int32 -> nll [N] f32. Differentiable wrt x, w, b.
+    ``v_true``: true vocab size; columns >= v_true (embedding padding rows)
+    are excluded from the softmax, matching the XLA path's logits slice.
+    """
+    nll, _ = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0])
+    return nll
+
+
+def _fwd_rule(x, w, b, targets, vblock, v_true):
+    nll, lse = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0])
+    return nll, (x, w, b, targets, lse)
+
+
+def _bwd_rule(vblock, v_true, res, g):
+    x, w, b, targets, lse = res
+    dx, dw, db = _bwd_call(x, w, b, targets, lse, g, vblock,
+                           v_true or w.shape[0])
+    return dx, dw, db, None
+
+
+fused_ce_nll.defvjp(_fwd_rule, _bwd_rule)
+
+
+def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
+                               vblock=VBLOCK):
+    """Masked-mean CE over non-PAD targets via the fused kernel.
+
+    y [B, L, D] hidden states; w [V, D] embedding-layout head weights;
+    b [V]; targets [B, L]. Returns (ce_mean, n_tokens) — the exact semantics
+    of ops.losses.masked_cross_entropy (torch ignore_index)."""
+    bsz, l, d = y.shape
+    x = y.reshape(bsz * l, d).astype(jnp.float32)
+    tgt = targets.reshape(-1).astype(jnp.int32)
+    nll = fused_ce_nll(x, w.astype(jnp.float32), b.astype(jnp.float32),
+                       tgt, vblock, v_true)
+    mask = (tgt != pad_id).astype(jnp.float32)
+    total = jnp.sum(nll * mask)
+    count = jnp.sum(mask)
+    return total / jnp.maximum(count, 1.0), count

@@ -47,8 +47,37 @@ def permute_triples_device(triples, rng):
     return jnp.take_along_axis(triples, order[:, :, None], axis=1)
 
 
-def _loss_fn(model: Model, pad_id: int):
-    if model.kind == "lm":
+def _use_fused_ce(model: Model, config) -> bool:
+    """The Pallas fused logits+CE kernel applies when requested, the model
+    exposes tied-head hooks, and shapes meet the kernel constraints."""
+    if not config.get("use_fused_ce") or model.features is None:
+        return False
+    from ark_tpu.ops.pallas.logit_ce import supported
+
+    bs = int(config["batch_size"])
+    l = int(config["seq_len"]) - 1
+    d = int(config["d_model"])
+    mult = int(config.get("vocab_pad_multiple", 1))
+    vp = ((config["vocab_size"] + mult - 1) // mult) * mult
+    return supported(bs * l, d, vp)
+
+
+def _loss_fn(model: Model, pad_id: int, config=None):
+    fused = config is not None and _use_fused_ce(model, config)
+    if model.kind == "lm" and fused:
+        from ark_tpu.ops.pallas.logit_ce import fused_masked_cross_entropy
+
+        v_true = int(config["vocab_size"])
+
+        def loss(params, triples, seq, rng, beta, row_weights=None):
+            del triples
+            y = model.features(params, seq[:, :-1], rng=rng,
+                               deterministic=rng is None)
+            w, b = model.head(params)
+            ce, _ = fused_masked_cross_entropy(y, w, b, seq[:, 1:], pad_id,
+                                               v_true=v_true)
+            return ce, (ce, jnp.float32(0.0))
+    elif model.kind == "lm":
         def loss(params, triples, seq, rng, beta, row_weights=None):
             del triples
             logits = model.apply(params, seq[:, :-1], rng=rng, deterministic=rng is None)
@@ -123,7 +152,7 @@ def make_epoch_fns(model: Model, layout, config):
     shuffle = bool(config.get("shuffle_train", False))
     permute = bool(config.get("permute_triples", False)) and not layout.use_padding
     tx = adam_tx()
-    loss_fn = _loss_fn(model, pad_id)
+    loss_fn = _loss_fn(model, pad_id, config)
     is_vae = model.kind == "vae"
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Headline benchmark: wd-articles training + sampling throughput per chip.
+
+Target (BASELINE.json north star): >=10x graphs/sec/chip on wd-articles
+training and sampling vs the PyTorch reference. The reference publishes no
+numbers (BASELINE.md), so the baseline is measured: a freshly-written torch
+mirror of the reference's decoder-only GRU model (DecoderOnlyGRU semantics,
+reference models.py:323-345) run on this host's CPU — the only torch device
+available here — with the reference's own training/sampling procedure
+(per-batch step; full-prefix re-encode per sampling token, models.py:429).
+The baseline measurement is cached in .bench_baseline.json.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "graphs/sec/chip", "vs_baseline": N, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("ARK_TPU_DATA_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".ark_tpu_data"))
+
+import numpy as np
+
+BATCH = 16           # reference config batch size (configs/autoreg_wd-articles.yaml)
+TRAIN_STEPS = 256    # timed steps per measurement
+SAMPLE_BATCH = 512
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+DTYPE = os.environ.get("ARK_TPU_BENCH_DTYPE", "float32")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_setup():
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from ark_tpu.train.loop import DataBundle, derive_config
+    from ark_tpu.models import build_model
+
+    cfg = yaml.safe_load(open(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "configs", "autoreg_wd-articles.yaml")))
+    cfg["learning_rate"] = float(cfg["learning_rate"])
+    cfg["compute_dtype"] = DTYPE
+    cfg["vocab_pad_multiple"] = 128
+    bundle = DataBundle(cfg)
+    cfg = derive_config(cfg, bundle)
+    model = build_model(cfg)
+    return cfg, bundle, model
+
+
+def measure_tpu(cfg, bundle, model):
+    import jax
+    import jax.numpy as jnp
+
+    from ark_tpu.train import create_train_state, make_epoch_fns
+    from ark_tpu.sample import make_sampler
+
+    layout = bundle.layout
+    state = create_train_state(model, jax.random.key(0))
+    n = TRAIN_STEPS * BATCH
+    triples = jnp.asarray(bundle.train.triples[:n])
+    seq = jnp.asarray(bundle.train.seq[:n])
+    train_epoch, _ = make_epoch_fns(model, layout, cfg)
+
+    log("[bench] compiling + warmup train epoch ...")
+    t0 = time.time()
+    state, met = train_epoch(state, triples, seq, jax.random.key(1), 1e-4, 1.0)
+    warm_loss = float(met["loss"])  # host fetch = real sync
+    log(f"[bench] train compile+warmup {time.time()-t0:.1f}s loss={warm_loss:.3f}")
+
+    t0 = time.time()
+    state, met = train_epoch(state, triples, seq, jax.random.key(2), 1e-4, 1.0)
+    loss = float(met["loss"])
+    dt = time.time() - t0
+    train_gps = n / dt
+    log(f"[bench] train: {dt:.2f}s for {TRAIN_STEPS} steps x {BATCH} "
+        f"-> {train_gps:.0f} graphs/s (loss {loss:.3f})")
+
+    sampler = make_sampler(model, layout, sample=True,
+                           temperature=cfg.get("temperature", 1.0),
+                           top_p=cfg.get("top_p", 0.9),
+                           top_k=cfg.get("top_k", 0))
+    log("[bench] compiling + warmup sampler ...")
+    t0 = time.time()
+    _ = int(np.asarray(sampler(state.params, jax.random.key(3), SAMPLE_BATCH)).sum())
+    log(f"[bench] sample compile+warmup {time.time()-t0:.1f}s")
+    t0 = time.time()
+    reps = 4
+    for i in range(reps):
+        out = np.asarray(sampler(state.params, jax.random.key(10 + i), SAMPLE_BATCH))
+    dt = (time.time() - t0) / reps
+    sample_gps = SAMPLE_BATCH / dt
+    log(f"[bench] sample: {dt*1000:.0f} ms/batch{SAMPLE_BATCH} "
+        f"-> {sample_gps:.0f} graphs/s")
+    return train_gps, sample_gps
+
+
+def measure_torch_baseline(cfg, bundle):
+    """Reference-procedure torch baseline on CPU (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    import torch
+    import torch.nn.functional as F
+
+    layout = bundle.layout
+    V, L, D, NL = layout.vocab_size, layout.seq_len, cfg["d_model"], cfg["n_layers"]
+
+    class GRULM(torch.nn.Module):
+        """Decoder-only GRU LM with the reference's architecture shape
+        (token+position embeddings, multi-layer GRU, tied output head)."""
+
+        def __init__(self):
+            super().__init__()
+            self.tok = torch.nn.Embedding(V, D)
+            self.pos = torch.nn.Embedding(L, D)
+            self.gru = torch.nn.GRU(D, D, num_layers=NL, batch_first=True,
+                                    dropout=0.1)
+            self.out = torch.nn.Linear(D, V)
+            self.out.weight = self.tok.weight
+
+        def forward(self, s):
+            x = self.tok(s) + self.pos(torch.arange(s.shape[1]))[None]
+            y, _ = self.gru(x)
+            return self.out(y)
+
+    model = GRULM()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    seq = torch.tensor(np.asarray(bundle.train.seq[:BATCH], np.int64))
+
+    log("[bench] torch-CPU baseline: train steps ...")
+    steps = 3
+    t0 = time.time()
+    for _ in range(steps):
+        opt.zero_grad()
+        logits = model(seq[:, :-1])
+        loss = F.cross_entropy(logits.reshape(-1, V), seq[:, 1:].reshape(-1),
+                               ignore_index=0)
+        loss.backward()
+        opt.step()
+    train_gps = BATCH * steps / (time.time() - t0)
+    log(f"[bench] torch train: {train_gps:.1f} graphs/s")
+
+    log("[bench] torch-CPU baseline: sampling (reference full-prefix loop) ...")
+    model.eval()
+    B = 50  # the reference's sampling chunk size (train.py:516)
+    # The reference re-encodes the full prefix every step (models.py:429), so
+    # per-step cost grows linearly in prefix length p and the full generation
+    # is ~quadratic in L. Running all L-1 steps on one CPU core takes tens of
+    # minutes; instead measure per-step time at several prefix lengths, fit
+    # t(p) = a*p + c, and integrate over p = 1..L-1.
+    with torch.no_grad():
+        probe_ps, probe_ts = [], []
+        for p in (4, 8, 12):
+            s = torch.full((B, p), 1, dtype=torch.long)
+            t0 = time.time()
+            logits = model(s)[:, -1]
+            probs = torch.softmax(logits, dim=-1)
+            _ = torch.multinomial(probs, 1)
+            probe_ps.append(p)
+            probe_ts.append(time.time() - t0)
+        a, c = np.polyfit(probe_ps, probe_ts, 1)
+        total = sum(max(a * p + c, 0.0) for p in range(1, L))
+        sample_gps = B / total
+    log(f"[bench] torch sample (extrapolated from per-step fit): "
+        f"{sample_gps:.2f} graphs/s")
+
+    result = {"train_graphs_per_sec": train_gps,
+              "sample_graphs_per_sec": sample_gps,
+              "device": "cpu", "batch": BATCH}
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main():
+    cfg, bundle, model = build_setup()
+    baseline = measure_torch_baseline(cfg, bundle)
+    train_gps, sample_gps = measure_tpu(cfg, bundle, model)
+    result = {
+        "metric": "wd_articles_train_graphs_per_sec_chip",
+        "value": round(train_gps, 1),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(train_gps / baseline["train_graphs_per_sec"], 2),
+        "sample_graphs_per_sec_chip": round(sample_gps, 1),
+        "sample_vs_baseline": round(
+            sample_gps / baseline["sample_graphs_per_sec"], 2),
+        "baseline": "torch-cpu reference procedure (see bench.py docstring)",
+        "dtype": DTYPE,
+        "batch": BATCH,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
