@@ -87,6 +87,7 @@ def build_model(config: dict) -> Model:
     dtype = _dtype(config)
     dec_dropout = config.get("dec_dropout", 0.1)
     tied = bool(config.get("tie_weights", True))
+    use_pallas_gru = bool(config.get("use_pallas_gru", False))
 
     if mt == "ARK":
         def init(rng):
@@ -97,7 +98,7 @@ def build_model(config: dict) -> Model:
             return decoders.gru_lm_apply(
                 params, seq, dropout_rate=dec_dropout, rng=rng,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size)
+                vocab_out=vocab_size, use_pallas=use_pallas_gru)
 
         def decode_state(params, batch):
             return decoders.gru_lm_state(params, batch, dtype)
@@ -112,7 +113,8 @@ def build_model(config: dict) -> Model:
             def features(params, seq, rng=None, deterministic=True):
                 return decoders.gru_lm_features(
                     params, seq, dropout_rate=dec_dropout, rng=rng,
-                    deterministic=deterministic, dtype=dtype)
+                    deterministic=deterministic, dtype=dtype,
+                    use_pallas=use_pallas_gru)
 
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
@@ -183,7 +185,7 @@ def build_model(config: dict) -> Model:
             logits = decoders.gru_cond_apply(
                 params["dec"], z, seq, dropout_rate=dec_dropout, rng=k_dec,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size)
+                vocab_out=vocab_size, use_pallas=use_pallas_gru)
             return logits, mu, logv
 
         def decode_state(params, z):

@@ -145,19 +145,21 @@ def gru_lm_init(key, vocab_size, d_model, n_layers, seq_len, tie_weights=True):
 
 
 def gru_lm_features(p, seq, *, dropout_rate=0.1, rng=None,
-                    deterministic=True, dtype=jnp.float32):
+                    deterministic=True, dtype=jnp.float32, use_pallas=False):
     """Hidden states before the output head (for the fused-CE kernel)."""
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     y, _ = gru_apply(p["gru"], x, dropout_rate=dropout_rate, rng=rng,
-                     deterministic=deterministic)
+                     deterministic=deterministic, use_pallas=use_pallas)
     return y
 
 
 def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
-                 tied=True, dtype=jnp.float32, vocab_out=None):
+                 tied=True, dtype=jnp.float32, vocab_out=None,
+                 use_pallas=False):
     y = gru_lm_features(p, seq, dropout_rate=dropout_rate, rng=rng,
-                        deterministic=deterministic, dtype=dtype)
+                        deterministic=deterministic, dtype=dtype,
+                        use_pallas=use_pallas)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
@@ -249,12 +251,12 @@ def _gru_cond_h0(p, z, n_layers, dtype):
 
 def gru_cond_apply(p, z, seq, *, dropout_rate=0.1, rng=None,
                    deterministic=True, tied=True, dtype=jnp.float32,
-                   vocab_out=None):
+                   vocab_out=None, use_pallas=False):
     n_layers = len(p["gru"]["layers"])
     x = p["tok_emb"][seq].astype(dtype)
     h0 = _gru_cond_h0(p, z, n_layers, dtype)
     y, _ = gru_apply(p["gru"], x, h0, dropout_rate=dropout_rate, rng=rng,
-                     deterministic=deterministic)
+                     deterministic=deterministic, use_pallas=use_pallas)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 

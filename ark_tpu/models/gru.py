@@ -53,15 +53,21 @@ def _cell(h, gx, w_hh, b_hh, hidden_size):
 
 
 def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
-              deterministic=True):
+              deterministic=True, use_pallas=False):
     """x [B, L, D] -> (y [B, L, H], hT [num_layers, B, H]).
 
-    h0: [num_layers, B, H] or None (zeros)."""
+    h0: [num_layers, B, H] or None (zeros). With ``use_pallas`` (and
+    supported shapes) the time recurrence runs in the fused Pallas kernel
+    (ark_tpu/ops/pallas/gru_scan.py); the lax.scan path otherwise."""
     layers = params["layers"]
     b, l, _ = x.shape
     hidden = layers[0]["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((len(layers), b, hidden), x.dtype)
+    pallas_ok = False
+    if use_pallas:
+        from ark_tpu.ops.pallas.gru_scan import supported
+        pallas_ok = supported(b, hidden) and x.dtype == jnp.float32
     h_finals = []
     out = x
     for li, lp in enumerate(layers):
@@ -70,13 +76,19 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
                      preferred_element_type=jnp.float32)
         gx = (gx + lp["b_ih"]).astype(out.dtype)
 
-        def step(h, gx_t, _lp=lp):
-            h_new = _cell(h, gx_t, _lp["w_hh"], _lp["b_hh"], hidden)
-            return h_new, h_new
+        if pallas_ok:
+            from ark_tpu.ops.pallas.gru_scan import gru_layer_scan
+            out, hT = gru_layer_scan(gx.astype(jnp.float32),
+                                     lp["w_hh"], lp["b_hh"],
+                                     h0[li].astype(jnp.float32))
+        else:
+            def step(h, gx_t, _lp=lp):
+                h_new = _cell(h, gx_t, _lp["w_hh"], _lp["b_hh"], hidden)
+                return h_new, h_new
 
-        hT, ys = jax.lax.scan(step, h0[li].astype(out.dtype),
-                              jnp.swapaxes(gx, 0, 1))
-        out = jnp.swapaxes(ys, 0, 1)
+            hT, ys = jax.lax.scan(step, h0[li].astype(out.dtype),
+                                  jnp.swapaxes(gx, 0, 1))
+            out = jnp.swapaxes(ys, 0, 1)
         h_finals.append(hT)
         if li < len(layers) - 1 and not deterministic and dropout_rate > 0.0:
             rng, sub = jax.random.split(rng)

@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fused GRU layer scan (forward + BPTT backward).
+
+The GRU time recurrence is the latency-critical inner loop of the ARK/SAIL
+decoders (ark_tpu/models/gru.py): per step only a [B, H] x [H, 3H] matmul +
+gate elementwise work — far too small to hide per-iteration overhead in an
+XLA while-loop at the reference batch sizes. This kernel runs the WHOLE time
+loop as a sequential Pallas grid with the recurrent weights, biases and the
+hidden-state carry resident in VMEM: per grid step it reads one [B, 1, 3H]
+slice of the precomputed input projections (gx = x @ W_ih + b_ih stays an
+XLA batched matmul over the full sequence — MXU-friendly) and writes one
+[B, 1, H] output slice.
+
+Backward is the standard GRU BPTT, also as a single reversed Pallas grid:
+gates are recomputed from (h_prev, gx_t) — no activation stash beyond the
+forward's own ys — with dW_hh / db_hh accumulated in VMEM scratch.
+
+Gate conventions match torch / ark_tpu.models.gru exactly (r, z, n; paired
+biases):
+    r = sig(gx_r + h W_hr + b_hr); z = sig(gx_z + h W_hz + b_hz)
+    n = tanh(gx_n + r * (h W_hn + b_hn));  h' = (1-z) n + z h
+
+API: ``gru_layer_scan(gx, w_hh, b_hh, h0) -> (ys, hT)``; differentiable.
+Requires B % 8 == 0 and H % 128 == 0 (``supported()``); callers fall back to
+the lax.scan path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supported(b, h):
+    return b % 8 == 0 and h % 128 == 0
+
+
+def _gates(gx, gh, h_dim):
+    r = jax.nn.sigmoid(gx[:, :h_dim] + gh[:, :h_dim])
+    z = jax.nn.sigmoid(gx[:, h_dim:2 * h_dim] + gh[:, h_dim:2 * h_dim])
+    n = jnp.tanh(gx[:, 2 * h_dim:] + r * gh[:, 2 * h_dim:])
+    return r, z, n
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_ref, ht_ref, h_scr):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    h_dim = whh_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    gx = gx_ref[:, 0, :]
+    gh = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+    gh = gh + bhh_ref[0, :]
+    r, z, n = _gates(gx, gh, h_dim)
+    h_new = (1.0 - z) * n + z * h
+    h_scr[:] = h_new
+    ys_ref[:, 0, :] = h_new
+
+    @pl.when(t == nt - 1)
+    def _():
+        ht_ref[:] = h_new
+
+
+def _fwd_call(gx, whh, bhh, h0):
+    b, l, g3 = gx.shape
+    h = g3 // 3
+    ys, ht = pl.pallas_call(
+        _fwd_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((b, 1, g3), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1, h), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+    )(gx, whh, bhh.reshape(1, g3), h0)
+    return ys, ht
+
+
+# ---------------------------------------------------------------------------
+# Backward (reversed grid; recomputes gates from h_prev and gx_t)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_prev_ref, dy_ref,
+                dht_ref, dgx_ref, dh0_ref, dwhh_ref, dbhh_ref,
+                dh_scr, dw_scr, db_scr):
+    j = pl.program_id(0)
+    nt = pl.num_programs(0)
+    t = nt - 1 - j
+    h_dim = whh_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        dh_scr[:] = dht_ref[:]
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    h_prev = jnp.where(t == 0, h0_ref[:], ys_prev_ref[:, 0, :])
+    gx = gx_ref[:, 0, :]
+    gh = jnp.dot(h_prev, whh_ref[:], preferred_element_type=jnp.float32)
+    gh = gh + bhh_ref[0, :]
+    r, z, n = _gates(gx, gh, h_dim)
+
+    dh_total = dy_ref[:, 0, :] + dh_scr[:]
+    dn = dh_total * (1.0 - z)
+    dz = dh_total * (h_prev - n)
+    dn_pre = dn * (1.0 - n * n)
+    dgh_n = dn_pre * r
+    dr = dn_pre * gh[:, 2 * h_dim:]
+    dz_pre = dz * z * (1.0 - z)
+    dr_pre = dr * r * (1.0 - r)
+    dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+    dgh = jnp.concatenate([dr_pre, dz_pre, dgh_n], axis=1)
+
+    dgx_ref[:, 0, :] = dgx
+    dh_prev = dh_total * z + jax.lax.dot_general(
+        dgh, whh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_scr[:] = dh_prev
+    dw_scr[:] += jax.lax.dot_general(
+        h_prev, dgh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_scr[:] += jnp.sum(dgh, axis=0, keepdims=True)
+
+    @pl.when(j == nt - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dwhh_ref[:] = dw_scr[:]
+        dbhh_ref[:] = db_scr[:]
+
+
+def _bwd_call(gx, whh, bhh, h0, ys, dy, dht):
+    b, l, g3 = gx.shape
+    h = g3 // 3
+    # h_prev stream: ys shifted one step back; index is clamped at t=0 and
+    # the kernel selects h0 there instead.
+    dgx, dh0, dwhh, dbhh = pl.pallas_call(
+        _bwd_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((b, 1, g3), lambda j, l=l: (0, l - 1 - j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (b, 1, h),
+                lambda j, l=l: (0, jnp.maximum(l - 2 - j, 0), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, h), lambda j, l=l: (0, l - 1 - j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1, g3), lambda j, l=l: (0, l - 1 - j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, g3), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, g3), jnp.float32),
+            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((h, g3), jnp.float32),
+            pltpu.VMEM((1, g3), jnp.float32),
+        ],
+    )(gx, whh, bhh.reshape(1, g3), h0, ys, dy, dht)
+    return dgx, dh0, dwhh, dbhh[0]
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gru_layer_scan(gx, whh, bhh, h0):
+    """gx [B, L, 3H] f32, whh [H, 3H], bhh [3H], h0 [B, H]
+    -> (ys [B, L, H], hT [B, H])."""
+    return _fwd_call(gx, whh, bhh, h0)
+
+
+def _fwd_rule(gx, whh, bhh, h0):
+    ys, ht = _fwd_call(gx, whh, bhh, h0)
+    return (ys, ht), (gx, whh, bhh, h0, ys)
+
+
+def _bwd_rule(res, cots):
+    gx, whh, bhh, h0, ys = res
+    dy, dht = cots
+    dgx, dh0, dwhh, dbhh = _bwd_call(gx, whh, bhh, h0, ys, dy, dht)
+    return dgx, dwhh, dbhh, dh0
+
+
+gru_layer_scan.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,82 @@
+"""Fused GRU scan kernel: forward + full BPTT gradients must match the
+lax.scan model path (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas import tpu as pltpu
+
+from ark_tpu.models.gru import gru_init, gru_apply
+from ark_tpu.ops.pallas.gru_scan import gru_layer_scan, supported
+
+B, L, H = 8, 7, 128
+
+
+def test_supported():
+    assert supported(8, 128)
+    assert not supported(7, 128)
+    assert not supported(8, 100)
+
+
+def _setup():
+    p = gru_init(jax.random.key(0), H, H, 1)["layers"][0]
+    x = jax.random.normal(jax.random.key(1), (B, L, H))
+    h0 = jax.random.normal(jax.random.key(2), (B, H))
+    gx = x @ p["w_ih"] + p["b_ih"]
+    return p, gx, h0
+
+
+def _ref(gx, whh, bhh, h0):
+    def cell(h, gxt):
+        gh = h @ whh + bhh
+        r = jax.nn.sigmoid(gxt[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gxt[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gxt[:, 2 * H:] + r * gh[:, 2 * H:])
+        hn = (1 - z) * n + z * h
+        return hn, hn
+    hT, ys = jax.lax.scan(cell, h0, jnp.swapaxes(gx, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), hT
+
+
+def test_forward_matches_scan():
+    p, gx, h0 = _setup()
+    with pltpu.force_tpu_interpret_mode():
+        ys, ht = gru_layer_scan(gx, p["w_hh"], p["b_hh"], h0)
+    ys_r, ht_r = _ref(gx, p["w_hh"], p["b_hh"], h0)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ht), np.asarray(ht_r), atol=1e-6)
+
+
+def test_bptt_gradients_match_scan():
+    p, gx, h0 = _setup()
+    wts = jnp.arange(L, dtype=jnp.float32)[None, :, None]
+
+    def loss(fn, gx, whh, bhh, h0):
+        ys, ht = fn(gx, whh, bhh, h0)
+        return jnp.sum(ys * wts) + 2.0 * jnp.sum(ht ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(lambda *a: loss(gru_layer_scan, *a),
+                      argnums=(0, 1, 2, 3))(gx, p["w_hh"], p["b_hh"], h0)
+    gr = jax.grad(lambda *a: loss(_ref, *a),
+                  argnums=(0, 1, 2, 3))(gx, p["w_hh"], p["b_hh"], h0)
+    for a, c, name in zip(gk, gr, ["gx", "whh", "bhh", "h0"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_model_path_with_pallas_flag():
+    from ark_tpu.models import build_model
+
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=11, vocab_size=64, n_entities=20,
+               n_relations=4, dec_dropout=0.0)
+    m1 = build_model(cfg)
+    m2 = build_model(dict(cfg, use_pallas_gru=True))
+    params = m1.init(jax.random.key(0))
+    seq = jax.random.randint(jax.random.key(1), (8, 10), 0, 64)
+    a = m1.apply(params, seq)
+    with pltpu.force_tpu_interpret_mode():
+        b = m2.apply(params, seq)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
