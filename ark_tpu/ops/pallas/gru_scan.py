@@ -59,13 +59,13 @@ def _fwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_ref, ht_ref, h_scr):
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
-    gx = gx_ref[:, 0, :]
+    gx = gx_ref[0]
     gh = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
     gh = gh + bhh_ref[0, :]
     r, z, n = _gates(gx, gh, h_dim)
     h_new = (1.0 - z) * n + z * h
     h_scr[:] = h_new
-    ys_ref[:, 0, :] = h_new
+    ys_ref[0] = h_new
 
     @pl.when(t == nt - 1)
     def _():
@@ -73,28 +73,32 @@ def _fwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_ref, ht_ref, h_scr):
 
 
 def _fwd_call(gx, whh, bhh, h0):
+    """gx arrives batch-major [B, L, 3H]; the kernel runs time-major
+    [L, B, *] so each block's trailing dims are (B, 3H) — the TPU block
+    tiling constraint (last two dims divisible by (8, 128))."""
     b, l, g3 = gx.shape
     h = g3 // 3
-    ys, ht = pl.pallas_call(
+    gx_t = jnp.swapaxes(gx, 0, 1)  # [L, B, 3H]
+    ys_t, ht = pl.pallas_call(
         _fwd_kernel,
         grid=(l,),
         in_specs=[
-            pl.BlockSpec((b, 1, g3), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, g3), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, 1, h), lambda t: (0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, l, h), jnp.float32),
+            jax.ShapeDtypeStruct((l, b, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
-    )(gx, whh, bhh.reshape(1, g3), h0)
-    return ys, ht
+    )(gx_t, whh, bhh.reshape(1, g3), h0)
+    return jnp.swapaxes(ys_t, 0, 1), ht
 
 
 # ---------------------------------------------------------------------------
@@ -115,13 +119,13 @@ def _bwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_prev_ref, dy_ref,
         dw_scr[:] = jnp.zeros_like(dw_scr)
         db_scr[:] = jnp.zeros_like(db_scr)
 
-    h_prev = jnp.where(t == 0, h0_ref[:], ys_prev_ref[:, 0, :])
-    gx = gx_ref[:, 0, :]
+    h_prev = jnp.where(t == 0, h0_ref[:], ys_prev_ref[0])
+    gx = gx_ref[0]
     gh = jnp.dot(h_prev, whh_ref[:], preferred_element_type=jnp.float32)
     gh = gh + bhh_ref[0, :]
     r, z, n = _gates(gx, gh, h_dim)
 
-    dh_total = dy_ref[:, 0, :] + dh_scr[:]
+    dh_total = dy_ref[0] + dh_scr[:]
     dn = dh_total * (1.0 - z)
     dz = dh_total * (h_prev - n)
     dn_pre = dn * (1.0 - n * n)
@@ -132,7 +136,7 @@ def _bwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_prev_ref, dy_ref,
     dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
     dgh = jnp.concatenate([dr_pre, dz_pre, dgh_n], axis=1)
 
-    dgx_ref[:, 0, :] = dgx
+    dgx_ref[0] = dgx
     dh_prev = dh_total * z + jax.lax.dot_general(
         dgh, whh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -152,34 +156,37 @@ def _bwd_kernel(gx_ref, whh_ref, bhh_ref, h0_ref, ys_prev_ref, dy_ref,
 def _bwd_call(gx, whh, bhh, h0, ys, dy, dht):
     b, l, g3 = gx.shape
     h = g3 // 3
+    gx_t = jnp.swapaxes(gx, 0, 1)
+    ys_t = jnp.swapaxes(ys, 0, 1)
+    dy_t = jnp.swapaxes(dy, 0, 1)
     # h_prev stream: ys shifted one step back; index is clamped at t=0 and
     # the kernel selects h0 there instead.
-    dgx, dh0, dwhh, dbhh = pl.pallas_call(
+    dgx_t, dh0, dwhh, dbhh = pl.pallas_call(
         _bwd_kernel,
         grid=(l,),
         in_specs=[
-            pl.BlockSpec((b, 1, g3), lambda j, l=l: (0, l - 1 - j, 0),
+            pl.BlockSpec((1, b, g3), lambda j, l=l: (l - 1 - j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (b, 1, h),
-                lambda j, l=l: (0, jnp.maximum(l - 2 - j, 0), 0),
+                (1, b, h),
+                lambda j, l=l: (jnp.maximum(l - 2 - j, 0), 0, 0),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, h), lambda j, l=l: (0, l - 1 - j, 0),
+            pl.BlockSpec((1, b, h), lambda j, l=l: (l - 1 - j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, 1, g3), lambda j, l=l: (0, l - 1 - j, 0),
+            pl.BlockSpec((1, b, g3), lambda j, l=l: (l - 1 - j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, l, g3), jnp.float32),
+            jax.ShapeDtypeStruct((l, b, g3), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
             jax.ShapeDtypeStruct((h, g3), jnp.float32),
             jax.ShapeDtypeStruct((1, g3), jnp.float32),
@@ -189,8 +196,8 @@ def _bwd_call(gx, whh, bhh, h0, ys, dy, dht):
             pltpu.VMEM((h, g3), jnp.float32),
             pltpu.VMEM((1, g3), jnp.float32),
         ],
-    )(gx, whh, bhh.reshape(1, g3), h0, ys, dy, dht)
-    return dgx, dh0, dwhh, dbhh[0]
+    )(gx_t, whh, bhh.reshape(1, g3), h0, ys_t, dy_t, dht)
+    return jnp.swapaxes(dgx_t, 0, 1), dh0, dwhh, dbhh[0]
 
 
 # ---------------------------------------------------------------------------

@@ -172,13 +172,26 @@ def sample_and_evaluate(model, params, bundle, config, rng, target_n,
         seqs = sampler_bank.sample_latent_sequences(params, rng, target_n)
     graphs = seqs_to_triples_batch(seqs, layout.special_tokens,
                                    layout.ent_base, layout.rel_base)
-    labels = ints_to_labels(graphs, bundle.i2e, bundle.i2r)
+    labels = ints_to_labels(graphs[:5], bundle.i2e, bundle.i2r, verbose=False)
     print(f"\nExample graphs ({title}):")
-    for k in range(min(5, len(labels))):
+    for k in range(len(labels)):
         print(f"[{k}] {labels[k]}")
-    verifier = get_verifier(bundle.name)
-    sem = run_semantic_evaluation(labels, bundle.train_g, bundle.i2e,
-                                  bundle.i2r, verifier, title=title)
+    # native (C++) evaluation engine when available; pure-Python otherwise —
+    # exact agreement enforced by tests/test_native_verifier.py
+    use_native = not os.environ.get("ARK_TPU_NO_NATIVE")
+    if use_native:
+        from ark_tpu.native import NativeSemanticEvaluator, native_available
+        use_native = native_available()
+    if use_native:
+        sem = NativeSemanticEvaluator(bundle.name, graphs, bundle.train_g,
+                                      bundle.e2i, bundle.r2i)
+        print(f"\nSemantic evaluation – {title}:")
+        sem.print_results()
+    else:
+        all_labels = ints_to_labels(graphs, bundle.i2e, bundle.i2r)
+        verifier = get_verifier(bundle.name)
+        sem = run_semantic_evaluation(all_labels, bundle.train_g, bundle.i2e,
+                                      bundle.i2r, verifier, title=title)
     return sem.organized_results["results"], graphs
 
 
