@@ -52,6 +52,36 @@ def filter_top_p(probs, top_p: float):
     return kept / jnp.clip(kept.sum(-1, keepdims=True), 1e-12, None)
 
 
+def filter_top_p_fast(probs, top_p: float, prefilter: int = 2048):
+    """Exact top-p with a cheap fast path for large vocabularies.
+
+    A full [B, V] sort per token step dominates big-vocab sampling. For a
+    (minimally) trained model the nucleus lives in the head of the
+    distribution, so sort only the top ``prefilter`` probabilities
+    (lax.top_k); whenever each row's cumulative top-k mass crosses top_p the
+    result equals the full sort EXACTLY (the cutoff index is inside the
+    prefix). The full-sort path runs under lax.cond only when some row's
+    nucleus is wider (e.g. near-uniform logits at init)."""
+    v = probs.shape[-1]
+    if v <= prefilter:
+        return filter_top_p(probs, top_p)
+    topv = jax.lax.top_k(probs, prefilter)[0]       # desc-sorted prefix
+    cdf = jnp.cumsum(topv, axis=-1)
+    crosses = cdf[..., -1] > top_p
+
+    def fast(probs):
+        cutoff = cdf > top_p
+        cutoff = jnp.concatenate(
+            [jnp.zeros_like(cutoff[..., :1]), cutoff[..., :-1]], axis=-1)
+        num_kept = jnp.sum(~cutoff, axis=-1) - 1
+        thresh = jnp.take_along_axis(topv, num_kept[..., None], axis=-1)
+        kept = jnp.where(probs >= thresh, probs, 0.0)
+        return kept / jnp.clip(kept.sum(-1, keepdims=True), 1e-12, None)
+
+    return jax.lax.cond(jnp.all(crosses), fast,
+                        lambda p: filter_top_p(p, top_p), probs)
+
+
 def process_logits(logits, temperature=1.0, top_k=0, top_p=0.0):
     """logits [B, V] -> filtered probability distribution [B, V]."""
     logits = logits.astype(jnp.float32)
@@ -61,7 +91,7 @@ def process_logits(logits, temperature=1.0, top_k=0, top_p=0.0):
     if top_k and 0 < top_k < logits.shape[-1]:
         probs = filter_top_k(probs, int(top_k))
     if top_p and 0.0 < top_p < 1.0:
-        probs = filter_top_p(probs, float(top_p))
+        probs = filter_top_p_fast(probs, float(top_p))
     return probs
 
 

@@ -162,3 +162,23 @@ def test_decode_latent_greedy():
     seq = decode_latent(m, params, LAYOUT, z, beam=1)
     assert seq.shape == (4, LAYOUT.seq_len)
     assert (np.asarray(seq)[:, 0] == 1).all()
+
+
+def test_top_p_fast_path_equals_full_sort():
+    from ark_tpu.sample.samplers import filter_top_p, filter_top_p_fast
+
+    rng = np.random.default_rng(3)
+    # peaked distribution (fast path) over a vocab larger than the prefilter
+    logits = rng.normal(size=(6, 5000)).astype(np.float32) * 4
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = jnp.asarray(probs / probs.sum(-1, keepdims=True))
+    got = filter_top_p_fast(probs, 0.9, prefilter=256)
+    want = filter_top_p(probs, 0.9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-8)
+    # near-uniform (nucleus wider than the prefilter -> exact fallback)
+    flat = jnp.full((4, 5000), 1.0 / 5000.0)
+    got2 = filter_top_p_fast(flat, 0.9, prefilter=256)
+    want2 = filter_top_p(flat, 0.9)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-8)
