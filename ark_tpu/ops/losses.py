@@ -45,6 +45,61 @@ def masked_cross_entropy(logits, targets, pad_id, row_weights=None):
     return total / jnp.maximum(count, 1.0), count
 
 
+# ---------------------------------------------------------------------------
+# Structured (per-slot s/p/o) loss stack — the reference ships these in
+# kgvae/model/utils.py:15-64 (U-3 in SURVEY §2). They are dead code there
+# (never called), but they are part of the API surface, so working
+# equivalents are provided (and tested in tests/test_losses_extra.py).
+# ---------------------------------------------------------------------------
+
+def compute_kl_divergence(mu, logvar):
+    """Reference utils.py:15-16: per-graph-summed KL, batch-averaged."""
+    return jnp.mean(-0.5 * jnp.sum(1 + logvar - jnp.square(mu) - jnp.exp(logvar),
+                                   axis=1))
+
+
+def compute_reconstruction_loss(logits, targets, mask=None):
+    """Per-slot (subject, relation, object) CE (reference utils.py:19-35).
+
+    logits: (subject_logits, relation_logits, object_logits), each [B, T, C];
+    targets: [B, T, 3] int. The reference concatenates the three per-element
+    loss vectors and averages (masked by ``mask`` reshaped flat)."""
+    parts = []
+    for i, lg in enumerate(logits):
+        nll = token_nll(lg, targets[:, :, i]).reshape(-1)
+        parts.append(nll)
+    total = jnp.concatenate(parts, axis=0)
+    if mask is not None:
+        m = jnp.tile(mask.reshape(-1), 3).astype(jnp.float32)
+        return jnp.sum(total * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(total)
+
+
+def pad_triples(triples, max_edges, pad_value=0):
+    """Pad/truncate [B, T, 3] to [B, max_edges, 3] (reference utils.py:37-46)."""
+    b, t, _ = triples.shape
+    if t >= max_edges:
+        return triples[:, :max_edges, :]
+    pad = jnp.full((b, max_edges - t, 3), pad_value, triples.dtype)
+    return jnp.concatenate([triples, pad], axis=1)
+
+
+def create_padding_mask(triples, pad_value=0):
+    """Float mask over flattened triple components (reference utils.py:50-54)."""
+    b = triples.shape[0]
+    flat = triples.reshape(b, -1)
+    return (flat != pad_value).astype(jnp.float32)
+
+
+def compute_entity_sorting_loss(entity_logits, sorted_entities, mask=None):
+    """Reference utils.py:56-64."""
+    nll = token_nll(entity_logits, sorted_entities).reshape(-1)
+    if mask is not None:
+        m = mask.reshape(-1).astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(nll)
+
+
 def kl_mean_weighted(mu, logv, row_weights=None):
     """Batch-mean KL matching reference models.py:199-200; with optional row
     weights the mean runs over real rows only."""
