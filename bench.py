@@ -50,6 +50,11 @@ def build_setup():
     cfg["learning_rate"] = float(cfg["learning_rate"])
     cfg["compute_dtype"] = DTYPE
     cfg["vocab_pad_multiple"] = 128
+    # fastest measured variant (see docs/BENCH_NOTES.md): fused Pallas
+    # logits+CE and the fused Pallas GRU scan; both bit-match the XLA path's
+    # training trajectory (A/B'd loss-identical)
+    cfg["use_fused_ce"] = os.environ.get("ARK_TPU_BENCH_FUSED", "1") == "1"
+    cfg["use_pallas_gru"] = os.environ.get("ARK_TPU_BENCH_PGRU", "1") == "1"
     bundle = DataBundle(cfg)
     cfg = derive_config(cfg, bundle)
     model = build_model(cfg)
