@@ -182,3 +182,25 @@ def test_top_p_fast_path_equals_full_sort():
     want2 = filter_top_p(flat, 0.9)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_rejection_top_p_exactness():
+    """Rejection nucleus sampler: every drawn token is in the exact nucleus,
+    and empirical frequencies match the renormalized nucleus distribution."""
+    from ark_tpu.sample.samplers import filter_top_p, sample_top_p_rejection
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32) * 2.5)
+    want = np.asarray(filter_top_p(jax.nn.softmax(logits, -1), 0.9))[0]
+    nucleus = set(np.nonzero(want > 0)[0].tolist())
+
+    draws = []
+    key = jax.random.key(0)
+    batched = jnp.tile(logits, (256, 1))
+    for i in range(40):
+        key, k = jax.random.split(key)
+        draws.append(np.asarray(sample_top_p_rejection(k, batched, 0.9)))
+    draws = np.concatenate(draws)            # ~10k samples
+    assert set(np.unique(draws).tolist()) <= nucleus
+    freq = np.bincount(draws, minlength=64) / len(draws)
+    np.testing.assert_allclose(freq, want, atol=0.02)
