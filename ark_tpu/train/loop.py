@@ -46,6 +46,7 @@ from ark_tpu.train.state import (
 )
 from ark_tpu.train.steps import make_epoch_fns
 from ark_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, to_device_tree
+from ark_tpu.utils.profiling import PhaseTimer, maybe_trace
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +252,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     sample_frac = float(config.get("sample_frac", 0.1))
     target_n = int(config.get("num_generated_latent_graphs", 1000))
 
+    timer = PhaseTimer()
     vocabs = {"e2i": bundle.e2i, "i2e": bundle.i2e,
               "r2i": bundle.r2i, "i2r": bundle.i2r}
     dataset_meta = {"dataset": bundle.name, "n_entities": len(bundle.i2e),
@@ -270,10 +272,14 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         b = beta_for_epoch(config, epoch, annealed=is_vae)
 
         rng, k_train, k_val, k_comp, k_sample = jax.random.split(rng, 5)
-        state, train_m = train_epoch_fn(state, train_triples, train_seq,
-                                        k_train, lr, b)
-        val_m = eval_epoch_fn(state.params, val_triples, val_seq, val_w,
-                              k_val, b)
+        with maybe_trace(config, epoch), timer.phase("train_epoch"):
+            state, train_m = train_epoch_fn(state, train_triples, train_seq,
+                                            k_train, lr, b)
+            train_m = {k: float(v) for k, v in train_m.items()}
+        with timer.phase("validate"):
+            val_m = eval_epoch_fn(state.params, val_triples, val_seq, val_w,
+                                  k_val, b)
+            val_m = {k: float(v) for k, v in val_m.items()}
         train_loss = float(train_m["loss"])
         train_recon = float(train_m["reconstruction_loss"])
         train_kl = float(train_m["kl_loss"])
@@ -283,8 +289,9 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
         do_comp = (epoch + 1) % comp_every == 0
         if do_comp:
-            stats = posterior_bits(model, state.params, bundle.val, layout,
-                                   sample_frac=sample_frac, rng=k_comp)
+            with timer.phase("compression"):
+                stats = posterior_bits(model, state.params, bundle.val, layout,
+                                       sample_frac=sample_frac, rng=k_comp)
             print("\n[Posterior Compression on Validation Set]")
             print(f" Avg total bits: {stats['avg_total_bits']:.2f}")
             print(f" Avg AR bits:    {stats['avg_ar_bits']:.2f}")
@@ -314,9 +321,10 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         if (epoch + 1) % verify_every == 0:
             title = ("graphs from random latent" if is_vae
                      else "decoder-only samples")
-            res, graphs = sample_and_evaluate(model, state.params, bundle,
-                                              config, k_sample, target_n,
-                                              sampler_bank, title)
+            with timer.phase("sample_verify"):
+                res, graphs = sample_and_evaluate(model, state.params, bundle,
+                                                  config, k_sample, target_n,
+                                                  sampler_bank, title)
             prefix = "latent_" if is_vae else ""
             run.log({
                 f"verification/{prefix}validity_rate": res.get("semantics", 0.0) / 100.0,
@@ -331,6 +339,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                   f"novelty: {res.get('novel', 0.0):.2f}% | "
                   f"valid&novel: {res.get('novel_semantics', 0.0):.2f}%")
 
+        log_dict.update(timer.metrics())
         run.log(log_dict)
         if is_vae:
             print(f"Train Loss: {train_loss:.4f} (Recon: {train_recon:.4f}, KL: {train_kl:.4f})")
