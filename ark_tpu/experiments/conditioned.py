@@ -17,7 +17,6 @@ import copy
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 
 from ark_tpu.data.tokenizer import (
     VocabLayout,

@@ -26,7 +26,7 @@ cache — improving on the reference's full-prefix recompute, models.py:429-463)
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ the lax.scan path otherwise.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

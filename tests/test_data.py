@@ -110,10 +110,6 @@ def test_canonical_graph_string():
 
 
 def test_deterministic_generation(small_datasets):
-    from ark_tpu.data.loader import get_file_paths
-    import hashlib
-    from pathlib import Path
-
     # regeneration from the same seed must be byte-identical
     from ark_tpu.data.generators import generate_splits
     a = generate_splits("syn-paths", sizes=(50, 10, 10))

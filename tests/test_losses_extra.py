@@ -6,7 +6,6 @@ defines torch semantics.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 import torch
 import torch.nn.functional as F
 

@@ -5,7 +5,6 @@ forward NLL and all three gradients must match the XLA reference path.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from jax.experimental.pallas import tpu as pltpu
 
-from ark_tpu.models.gru import gru_init, gru_apply
+from ark_tpu.models.gru import gru_init
 from ark_tpu.ops.pallas.gru_scan import gru_layer_scan, supported
 
 B, L, H = 8, 7, 128

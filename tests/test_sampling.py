@@ -11,7 +11,7 @@ import pytest
 
 from ark_tpu.data.tokenizer import build_vocab_layout
 from ark_tpu.models import build_model
-from ark_tpu.sample import beam_generate, decode_latent, generate, make_sampler
+from ark_tpu.sample import beam_generate, decode_latent, generate
 from ark_tpu.sample.samplers import process_logits
 
 LAYOUT = build_vocab_layout(20, 4, 3, 3, use_padding=False)

@@ -7,7 +7,6 @@ layout, and compare forward outputs on random inputs (eval mode, f32).
 """
 
 import numpy as np
-import pytest
 import torch
 
 import jax
