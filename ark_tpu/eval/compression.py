@@ -79,6 +79,16 @@ def posterior_bits(model, params, data, layout, *, sample_frac=0.1, rng=None,
     pad_id = layout.special_tokens["PAD"]
     n = max(1, int(sample_frac * len(data)))
     sub = data.subset(n)
+    if data.permute and not layout.use_padding:
+        # reference semantics: posterior_bits iterates the dataset through
+        # GraphSeqDataset.__getitem__, which re-permutes each graph's triples
+        # (models.py:495-497 + utils.py:131-146)
+        from ark_tpu.data.dataset import _permute_batch
+
+        host_rng = np.random.default_rng(0)
+        triples, seq = _permute_batch(sub.triples, layout, host_rng)
+        sub = type(sub)(triples=triples, seq=seq, n_edges=sub.n_edges,
+                        layout=layout)
     if rng is None:
         rng = jax.random.key(0)
     bits_fn = _make_bits_fn(model, pad_id)

@@ -194,11 +194,18 @@ def make_epoch_fns(model: Model, layout, config):
         nb = n // bs
 
         def body(rng, i):
-            rng, k = jax.random.split(rng)
+            rng, k_perm, k = jax.random.split(rng, 3)
             sl = i * bs
             triples = jax.lax.dynamic_slice_in_dim(triples_all, sl, bs, 0)
             seq = jax.lax.dynamic_slice_in_dim(seq_all, sl, bs, 0)
             w = jax.lax.dynamic_slice_in_dim(row_weights, sl, bs, 0)
+            if permute:
+                # the reference's GraphSeqDataset permutes triples on EVERY
+                # access, including the val/test loaders (utils.py:131-146;
+                # loaders built with permute at train.py:372-408)
+                triples = permute_triples_device(triples, k_perm)
+                seq = build_seq_from_triples(
+                    triples, layout.ent_base, layout.rel_base, bos, eos)
             if is_vae:
                 logits, mu, logv = model.apply(params, triples, seq[:, :-1],
                                                rng=k, deterministic=True)
