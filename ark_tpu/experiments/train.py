@@ -31,7 +31,25 @@ def build_parser():
     return parser
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: big-vocab epoch-scan compiles take
+    minutes through this environment's remote-TPU tunnel; caching makes
+    repeat runs start in seconds. Opt out with ARK_TPU_NO_COMPILE_CACHE=1."""
+    if os.environ.get("ARK_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/ark_tpu_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        print(f"[ark_tpu] compilation cache unavailable: {e}")
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = load_config(args.config)
     entity = args.wandb_entity or os.getenv("WANDB_ENTITY")

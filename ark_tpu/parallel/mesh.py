@@ -134,3 +134,31 @@ def make_parallel_train_step(model, layout, config, mesh: Mesh,
         return jax.device_put(jnp.asarray(arr), batch_sharding(mesh)(arr))
 
     return step, place_state, place_batch
+
+
+def make_parallel_sampler(model, layout, mesh: Mesh, *, sample=True,
+                          temperature=1.0, top_k=0, top_p=0.0, forced=()):
+    """Data-parallel sampling: the batch axis is sharded over 'data', params
+    replicated; the whole generation scan runs SPMD (each chip decodes its
+    shard, no cross-chip communication needed).
+
+    lm models:  sampler(params, rng, batch_size) with batch_size % data == 0.
+    vae models: sampler(params, rng, z) with z pre-placed via place_batch."""
+    from ark_tpu.sample import make_sampler
+
+    base = make_sampler(model, layout, sample=sample, temperature=temperature,
+                        top_k=top_k, top_p=top_p, forced=forced)
+    repl = NamedSharding(mesh, P())
+
+    def place_params(params):
+        return jax.device_put(params, param_shardings(params, mesh))
+
+    if model.kind == "lm":
+        def sampler(params, rng, batch_size):
+            assert batch_size % mesh.shape["data"] == 0
+            return base(params, jax.device_put(rng, repl), batch_size)
+    else:
+        def sampler(params, rng, z):
+            z = jax.device_put(jnp.asarray(z), batch_sharding(mesh)(z))
+            return base(params, jax.device_put(rng, repl), z)
+    return sampler, place_params

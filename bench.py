@@ -42,6 +42,9 @@ def build_setup():
     import jax.numpy as jnp
     import yaml
 
+    from ark_tpu.experiments.train import _enable_compilation_cache
+    _enable_compilation_cache()
+
     from ark_tpu.train.loop import DataBundle, derive_config
     from ark_tpu.models import build_model
 

@@ -100,3 +100,19 @@ def test_graft_dryrun_multichip():
 
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_parallel_sampler_matches_single_device():
+    from ark_tpu.parallel.mesh import make_parallel_sampler
+    from ark_tpu.sample import make_sampler
+
+    m = build_model(CFG)
+    params = m.init(jax.random.key(0))
+    mesh = make_mesh({"data": 8})
+    psampler, place_params = make_parallel_sampler(m, LAYOUT, sample=True,
+                                                   top_p=0.9, mesh=mesh)
+    pp = place_params(params)
+    got = np.asarray(psampler(pp, jax.random.key(3), 16))
+    ref = np.asarray(make_sampler(m, LAYOUT, sample=True, top_p=0.9)(
+        params, jax.random.key(3), 16))
+    np.testing.assert_array_equal(got, ref)
