@@ -47,10 +47,20 @@ def permute_triples_device(triples, rng):
     return jnp.take_along_axis(triples, order[:, :, None], axis=1)
 
 
+def _flag(config, key) -> bool:
+    """Kernel flags default to 'auto': enabled on TPU, off on CPU (Pallas
+    kernels only run compiled there; tests exercise them in interpret mode)."""
+    v = config.get(key, "auto")
+    if v == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return bool(v)
+
+
 def _use_fused_ce(model: Model, config) -> bool:
-    """The Pallas fused logits+CE kernel applies when requested, the model
-    exposes tied-head hooks, and shapes meet the kernel constraints."""
-    if not config.get("use_fused_ce") or model.features is None:
+    """The Pallas fused logits+CE kernel applies when requested (or 'auto'
+    on TPU), the model exposes tied-head hooks, and shapes meet the kernel
+    constraints."""
+    if not _flag(config, "use_fused_ce") or model.features is None:
         return False
     from ark_tpu.ops.pallas.logit_ce import supported
 
