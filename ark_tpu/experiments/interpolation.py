@@ -76,21 +76,37 @@ def load_model(checkpoint_dir, dataset, model_type, epoch=None):
 
 
 class LatentDecoder:
-    """Caches compiled decoders per (beam, batch) shape."""
+    """Caches compiled decoders per (beam, batch) shape.
+
+    Batches use PER-ROW beam search (sample/beam.py::beam_generate_per_row),
+    which is bit-identical to looping the reference beam over single z's —
+    so a whole walk's decodes go through one device dispatch instead of one
+    per z (the reference decodes per-z at batch 1, interp:45-78)."""
 
     def __init__(self, model, params, layout):
         self.model, self.params, self.layout = model, params, layout
 
     def decode(self, z, beam=3):
+        from ark_tpu.sample import beam_generate_per_row
+
         z = jnp.atleast_2d(jnp.asarray(z, jnp.float32))
-        seqs = decode_latent(self.model, self.params, self.layout, z, beam=beam)
+        if beam <= 1:
+            seqs = decode_latent(self.model, self.params, self.layout, z, beam=1)
+        else:
+            seqs = beam_generate_per_row(self.model, self.params, self.layout,
+                                         z, beam=beam)
         st = self.layout.special_tokens
         return seqs_to_triples_batch(np.asarray(seqs), st,
                                      self.layout.ent_base, self.layout.rel_base)
 
+    def decode_sets(self, zs, beam=3):
+        """Batch of z -> list of triple sets (one dispatch)."""
+        return [set(tuple(map(int, t)) for t in g)
+                for g in self.decode(jnp.asarray(zs), beam)]
+
     def decode_set(self, z, beam=3) -> set:
         """Reference decode_to_triple_set (interp:45-78): single z -> set."""
-        return set(tuple(map(int, t)) for t in self.decode(z[None] if z.ndim == 1 else z, beam)[0])
+        return self.decode_sets(z[None] if z.ndim == 1 else z, beam)[0]
 
 
 def load_graphs_with_checkpoint_vocab(dataset, e2i, r2i):
@@ -173,9 +189,11 @@ def latent_smoothness_score(dec: LatentDecoder, steps=10, epsilon=0.1,
         for _ in range(n_dirs):
             direction = rng.standard_normal(d).astype(np.float32)
             direction /= max(np.linalg.norm(direction), 1e-12)
+            zs = np.stack([z0 + (s * epsilon) * direction
+                           for s in range(1, steps + 1)])
+            walk = dec.decode_sets(zs, beam=beam)
             prev = anchor
-            for s in range(1, steps + 1):
-                cur = dec.decode_set(z0 + (s * epsilon) * direction, beam=beam)
+            for cur in walk:
                 tot_l += jaccard(cur, prev)
                 tot_g += jaccard(cur, anchor)
                 cnt += 1
@@ -201,9 +219,11 @@ def latent_flip_rate(dec: LatentDecoder, steps=30, epsilon=0.05, n_anchors=5,
             direction = rng.standard_normal(d).astype(np.float32)
             direction /= max(np.linalg.norm(direction), 1e-12)
             prev = dec.decode_set(z0, beam=beam)
+            zs = np.stack([z0 + (s * epsilon) * direction
+                           for s in range(1, steps + 1)])
+            walk = dec.decode_sets(zs, beam=beam)
             basin, last_flip = 1, False
-            for s in range(1, steps + 1):
-                cur = dec.decode_set(z0 + (s * epsilon) * direction, beam=beam)
+            for cur in walk:
                 flipped = int(cur != prev)
                 flips += flipped
                 total += 1

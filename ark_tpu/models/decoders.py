@@ -166,7 +166,7 @@ def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
 def gru_lm_state(p, batch, dtype=jnp.float32):
     n_layers = len(p["gru"]["layers"])
     h = p["gru"]["layers"][0]["w_hh"].shape[0]
-    return jnp.zeros((n_layers, batch, h), dtype)
+    return jnp.zeros((batch, n_layers, h), dtype)
 
 
 def gru_lm_step(p, state, token, pos, *, tied=True, dtype=jnp.float32,
@@ -261,7 +261,8 @@ def gru_cond_apply(p, z, seq, *, dropout_rate=0.1, rng=None,
 
 
 def gru_cond_state(p, z, dtype=jnp.float32):
-    return _gru_cond_h0(p, z, len(p["gru"]["layers"]), dtype)
+    h0 = _gru_cond_h0(p, z, len(p["gru"]["layers"]), dtype)
+    return jnp.swapaxes(h0, 0, 1)  # batch-leading [B, n_layers, H]
 
 
 def gru_cond_step(p, state, token, pos, *, tied=True, dtype=jnp.float32,

@@ -97,8 +97,10 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
 
 
 def gru_step(params, x_t, h):
-    """Single decode step for sampling: x_t [B, D], h [num_layers, B, H]
-    -> (y_t [B, H], h' [num_layers, B, H]). Eval mode (no dropout)."""
+    """Single decode step for sampling: x_t [B, D], h [B, num_layers, H]
+    -> (y_t [B, H], h' [B, num_layers, H]). Batch-leading state layout so
+    decode states gather uniformly along axis 0 (beam search, sharding).
+    Eval mode (no dropout)."""
     layers = params["layers"]
     hidden = layers[0]["w_hh"].shape[0]
     new_h = []
@@ -107,7 +109,8 @@ def gru_step(params, x_t, h):
         gx = jnp.dot(out, lp["w_ih"].astype(out.dtype),
                      preferred_element_type=jnp.float32)
         gx = (gx + lp["b_ih"]).astype(out.dtype)
-        h_new = _cell(h[li].astype(out.dtype), gx, lp["w_hh"], lp["b_hh"], hidden)
+        h_new = _cell(h[:, li].astype(out.dtype), gx, lp["w_hh"], lp["b_hh"],
+                      hidden)
         new_h.append(h_new)
         out = h_new
-    return out, jnp.stack(new_h)
+    return out, jnp.stack(new_h, axis=1)

@@ -204,3 +204,18 @@ def test_rejection_top_p_exactness():
     assert set(np.unique(draws).tolist()) <= nucleus
     freq = np.bincount(draws, minlength=64) / len(draws)
     np.testing.assert_allclose(freq, want, atol=0.02)
+
+
+@pytest.mark.parametrize("mt", ["SAIL", "t-SAIL"])
+def test_per_row_beam_equals_single_row_reference_beam(mt):
+    """Per-row beam over a batch must equal looped B=1 reference beams —
+    the exactness property the latent-analysis probes rely on to batch
+    their decodes."""
+    from ark_tpu.sample import beam_generate_per_row
+
+    m, params = _model(mt)
+    z = jax.random.normal(jax.random.key(11), (4, BASE["d_latent"]))
+    got = np.asarray(beam_generate_per_row(m, params, LAYOUT, z, beam=3))
+    for i in range(4):
+        want = np.asarray(beam_generate(m, params, LAYOUT, z[i:i + 1], beam=3))
+        np.testing.assert_array_equal(got[i], want[0], err_msg=f"row {i}")

@@ -53,14 +53,15 @@ def test_gru_step_matches_apply():
     params = jgru.gru_init(jax.random.key(0), d, d, n_layers)
     x = jax.random.normal(jax.random.key(1), (b, L, d))
     y_full, hT = jgru.gru_apply(params, x)
-    h = jnp.zeros((n_layers, b, d))
+    h = jnp.zeros((b, n_layers, d))  # decode states are batch-leading
     ys = []
     for t in range(L):
         y, h = jgru.gru_step(params, x[:, t], h)
         ys.append(y)
     np.testing.assert_allclose(np.asarray(jnp.stack(ys, 1)),
                                np.asarray(y_full), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(h), np.asarray(hT), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(h, 0, 1)),
+                               np.asarray(hT), rtol=1e-5, atol=1e-6)
 
 
 def _copy_mha(tm):
