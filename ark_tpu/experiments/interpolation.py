@@ -163,10 +163,10 @@ def smoothness_line_check(dec: LatentDecoder, i2e, i2r, steps=10, epsilon=0.1,
     anchor = ints_to_labels(dec.decode(z0[None], beam=beam), i2e, i2r)[0]
     print("\n=== Latent Smoothness Line Walk ===")
     print(f"Steps: {steps} | step size eps = {epsilon}")
+    zs = np.stack([z0 + (s * epsilon) * direction for s in range(1, steps + 1)])
+    walk = ints_to_labels(dec.decode(zs, beam=beam), i2e, i2r)
     prev, total_local, total_global = anchor, 0.0, 0.0
-    for s in range(1, steps + 1):
-        z = z0 + (s * epsilon) * direction
-        graph = ints_to_labels(dec.decode(z[None], beam=beam), i2e, i2r)[0]
+    for graph in walk:
         local = len(set(prev) & set(graph)) / max(1, len(prev))
         glob = len(set(anchor) & set(graph)) / max(1, len(anchor))
         total_local += local
