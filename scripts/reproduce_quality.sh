@@ -1,0 +1,29 @@
+#!/bin/bash
+# Reproduces the round-1 quality evidence in docs/QUALITY.md on one TPU chip.
+# Each run goes through the public CLI; results land in checkpoints/ and the
+# per-run metrics.jsonl files.
+set -e
+cd "$(dirname "$0")/.."
+
+# 1. syn-paths ARK, full reference config (~10 min incl. first-time compiles)
+python -m kgvae.experiments.train --config configs/autoreg_syn-paths.yaml \
+    --checkpoint-dir checkpoints/quality
+
+# 2. wd-movies SAIL (VAE family; ~4 min)
+python - <<'PY'
+import yaml
+cfg = yaml.safe_load(open("configs/autoreg_wd-movies.yaml"))
+cfg.update(model_type="SAIL", use_test_for_final_eval=False,
+           num_generated_latent_graphs=2000, sample_chunk=500)
+yaml.safe_dump(cfg, open("/tmp/q_wdm_sail.yaml", "w"))
+PY
+python -m kgvae.experiments.train --config /tmp/q_wdm_sail.yaml \
+    --checkpoint-dir checkpoints/quality_wdm_sail
+
+# 3. latent analysis + figures from the SAIL checkpoint (~4 min)
+run_dir=$(ls -d checkpoints/quality_wdm_sail/*/ | head -1)
+python -m kgvae.experiments.interpolation --config /tmp/q_wdm_sail.yaml \
+    --checkpoint-dir "$run_dir" --directions 3
+
+# 4. headline benchmark (one JSON line)
+python bench.py
