@@ -33,7 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def supported(b, h):
-    return b % 8 == 0 and h % 128 == 0
+    """Shape + VMEM gate. The backward kernel holds, per grid step:
+    double-buffered streamed blocks (gx, dy, ys_prev in; dgx out — 8H*b
+    floats each way) plus resident w_hh, dw scratch (2 x 3H*H), biases and
+    the dh carry. Bound the total under the ~16 MB VMEM budget with margin;
+    callers fall back to the lax.scan path otherwise."""
+    if b % 8 != 0 or h % 128 != 0:
+        return False
+    streamed = 2 * 2 * (3 * h * b + h * b + h * b + 3 * h * b)  # dbl-buffered
+    resident = 2 * (h * 3 * h) + 2 * (3 * h) + 3 * h * b
+    vmem_bytes = 4 * (streamed + resident)
+    return vmem_bytes < 13 * 1024 * 1024
 
 
 def _gates(gx, gh, h_dim):

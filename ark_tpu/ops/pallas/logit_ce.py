@@ -33,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 VBLOCK = 512  # vocabulary tile (lane-aligned)
 
 
+NCHUNK = 2048  # rows per kernel invocation (bounds VMEM; chunks' dW/db
+               # gradients sum through the chunked custom-VJP calls)
+
+
 def supported(n, d, v, vblock=VBLOCK):
-    return n % 8 == 0 and d % 128 == 0 and v % vblock == 0 and n <= 4096
+    return n % 8 == 0 and d % 128 == 0 and v % vblock == 0
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +225,24 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
     bsz, l, d = y.shape
     x = y.reshape(bsz * l, d).astype(jnp.float32)
     tgt = targets.reshape(-1).astype(jnp.int32)
-    nll = fused_ce_nll(x, w.astype(jnp.float32), b.astype(jnp.float32),
-                       tgt, vblock, v_true)
+    wf = w.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    n = x.shape[0]
+    if n <= NCHUNK:
+        nll = fused_ce_nll(x, wf, bf, tgt, vblock, v_true)
+    else:
+        # row-chunking keeps each kernel's VMEM bounded; pad the tail chunk
+        # (PAD targets there are masked out below)
+        chunks = []
+        for start in range(0, n, NCHUNK):
+            stop = min(start + NCHUNK, n)
+            xc, tc = x[start:stop], tgt[start:stop]
+            if stop - start < NCHUNK:
+                padn = NCHUNK - (stop - start)
+                xc = jnp.concatenate([xc, jnp.zeros((padn, d), x.dtype)])
+                tc = jnp.concatenate([tc, jnp.full((padn,), pad_id, tc.dtype)])
+            chunks.append(fused_ce_nll(xc, wf, bf, tc, vblock, v_true)[:stop - start])
+        nll = jnp.concatenate(chunks)
     mask = (tgt != pad_id).astype(jnp.float32)
     total = jnp.sum(nll * mask)
     count = jnp.sum(mask)

@@ -59,3 +59,31 @@ def test_gradients_match_xla():
     for a, c, name in zip(g_fused, g_ref, "x w b".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_chunked_masked_ce_matches_direct(monkeypatch):
+    """Row-chunked fused CE (large batches) equals the single-call path,
+    including gradients through the summed chunk VJPs."""
+    import ark_tpu.ops.pallas.logit_ce as lce
+
+    rng = np.random.default_rng(3)
+    B, L, Dm, Vp, Vt = 4, 10, 128, 512, 500
+    y = jnp.asarray(rng.normal(size=(B, L, Dm)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(Vp, Dm)) * 0.05).astype(np.float32))
+    b = jnp.asarray((rng.normal(size=(Vp,)) * 0.1).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(1, Vt, size=(B, L)).astype(np.int32))
+    tgt = tgt.at[:, -2:].set(0)  # PAD tail
+
+    def run(y, w, b):
+        ce, _ = lce.fused_masked_cross_entropy(y, w, b, tgt, pad_id=0,
+                                               v_true=Vt, vblock=128)
+        return ce
+
+    with pltpu.force_tpu_interpret_mode():
+        direct, gd = jax.value_and_grad(run, argnums=(0, 1, 2))(y, w, b)
+        monkeypatch.setattr(lce, "NCHUNK", 16)  # force 3 chunks (40 rows)
+        chunked, gc = jax.value_and_grad(run, argnums=(0, 1, 2))(y, w, b)
+    np.testing.assert_allclose(float(direct), float(chunked), rtol=1e-6)
+    for a, c, name in zip(gd, gc, "y w b".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
