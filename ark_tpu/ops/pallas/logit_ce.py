@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 VBLOCK = 512  # vocabulary tile (lane-aligned)
 
 
-NCHUNK = 1024  # rows per kernel invocation (bounds VMEM; chunks' dW/db
+NCHUNK = 1536  # rows per kernel invocation (bounds VMEM; chunks' dW/db
                # gradients sum through the chunked custom-VJP calls)
 
 
