@@ -33,8 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 VBLOCK = 512  # vocabulary tile (lane-aligned)
 
 
-NCHUNK = 1536  # rows per kernel invocation (bounds VMEM; chunks' dW/db
-               # gradients sum through the chunked custom-VJP calls)
+# Rows per kernel invocation. Bounds the backward kernel's VMEM footprint
+# (~11.2 KB/row at d=512, vblock=512: x + dx blocks, logits/probs/dlogits
+# temporaries); empirically 1360 rows compiles at ~15.2 MB of the 16 MB
+# scoped-vmem budget while 1536 rows overflows (17.1 MB). 1360 is also
+# exactly the flagship wd-articles shape (batch 16 x 85 targets), so the
+# headline config takes the single-call path. Chunks' dW/db gradients sum
+# through the chunked custom-VJP calls.
+NCHUNK = 1360
 
 
 def supported(n, d, v, vblock=VBLOCK):
