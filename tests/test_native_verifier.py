@@ -78,3 +78,25 @@ def test_hash_canonicalization(small_datasets):
     assert e1[0] == 0
     h4, e4 = graph_hashes_native([[]], 49, 3)
     assert e4[0] == 1
+
+
+@pytest.mark.parametrize("name", DATASET_NAMES)
+def test_native_matches_python_on_random_garbage(small_datasets, name):
+    """Fuzz: pure random token soup (including OOV ids and empty graphs)
+    must produce identical validity flags in both implementations."""
+    train_g, val_g, test_g, (e2i, i2e), (r2i, i2r), _, _ = load_data_as_list(name)
+    rng = np.random.default_rng(42)
+    graphs = []
+    for _ in range(150):
+        m = int(rng.integers(0, 8))
+        g = [(int(rng.integers(-2, len(e2i) + 3)),
+              int(rng.integers(-1, len(r2i) + 2)),
+              int(rng.integers(-2, len(e2i) + 3))) for _ in range(m)]
+        graphs.append(g)
+    native = verify_graphs_native(name, graphs, e2i, r2i)
+    verifier = get_verifier(name)
+    from ark_tpu.data.tokenizer import ints_to_labels
+    labels = ints_to_labels(graphs, i2e, i2r, verbose=False)
+    for i, (flag, lab) in enumerate(zip(native, labels)):
+        want = bool(lab) and verifier.check_rules_for_graph(lab)
+        assert bool(flag) == want, (name, i, graphs[i], lab)
