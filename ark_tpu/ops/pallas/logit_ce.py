@@ -52,7 +52,7 @@ def supported(n, d, v, vblock=VBLOCK):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
-                m_scr, l_scr, t_scr, *, v_true):
+                m_scr, l_scr, t_scr, *, v_true, mm_dtype=jnp.float32):
     """Grid over vocab blocks j. w_ref block is [VBLOCK, D] (embedding rows).
     Scratch persists across the sequential TPU grid: running max m [N,1],
     running sum-exp l [N,1], target logit t [N,1]."""
@@ -68,7 +68,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
         t_scr[:] = jnp.zeros_like(t_scr)
 
     logits = jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        x_ref[:].astype(mm_dtype), w_ref[:].astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # [N, VB]
     logits = logits + b_ref[0, :].reshape(1, vb)
     cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb
@@ -93,12 +94,12 @@ def _fwd_kernel(x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
         nll_ref[:] = lse - t_scr[:]
 
 
-def _fwd_call(x, w, b, targets, vblock, v_true):
+def _fwd_call(x, w, b, targets, vblock, v_true, mm_dtype=jnp.float32):
     n, d = x.shape
     v = w.shape[0]
     grid = (v // vblock,)
     nll, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, v_true=v_true),
+        functools.partial(_fwd_kernel, v_true=v_true, mm_dtype=mm_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -128,7 +129,7 @@ def _fwd_call(x, w, b, targets, vblock, v_true):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(x_ref, w_ref, b_ref, tgt_ref, lse_ref, g_ref,
-                dx_ref, dw_ref, db_ref, *, v_true):
+                dx_ref, dw_ref, db_ref, *, v_true, mm_dtype=jnp.float32):
     j = pl.program_id(0)
     vb = w_ref.shape[0]
     n = x_ref.shape[0]
@@ -138,7 +139,8 @@ def _bwd_kernel(x_ref, w_ref, b_ref, tgt_ref, lse_ref, g_ref,
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
     logits = jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        x_ref[:].astype(mm_dtype), w_ref[:].astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     logits = logits + b_ref[0, :].reshape(1, vb)
     cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb
@@ -151,20 +153,23 @@ def _bwd_kernel(x_ref, w_ref, b_ref, tgt_ref, lse_ref, g_ref,
     onehot = (cols == local).astype(jnp.float32)
 
     dlogits = (p - onehot) * g_ref[:]                 # [N, VB]
-    dx_ref[:] += jnp.dot(dlogits, w_ref[:], preferred_element_type=jnp.float32)
+    dlog_mm = dlogits.astype(mm_dtype)
+    dx_ref[:] += jnp.dot(dlog_mm, w_ref[:].astype(mm_dtype),
+                         preferred_element_type=jnp.float32)
     # dW block (embedding layout [VB, D]) = dlogits^T @ x
     dw_ref[:] = jax.lax.dot_general(
-        dlogits, x_ref[:], (((0,), (0,)), ((), ())),
+        dlog_mm, x_ref[:].astype(mm_dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)
 
 
-def _bwd_call(x, w, b, targets, lse, g, vblock, v_true):
+def _bwd_call(x, w, b, targets, lse, g, vblock, v_true,
+              mm_dtype=jnp.float32):
     n, d = x.shape
     v = w.shape[0]
     grid = (v // vblock,)
     dx, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, v_true=v_true),
+        functools.partial(_bwd_kernel, v_true=v_true, mm_dtype=mm_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -193,28 +198,33 @@ def _bwd_call(x, w, b, targets, lse, g, vblock, v_true):
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_ce_nll(x, w, b, targets, vblock=VBLOCK, v_true=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_ce_nll(x, w, b, targets, vblock=VBLOCK, v_true=None,
+                 mm_dtype=jnp.float32):
     """Per-row NLL of ``targets`` under logits = x @ w.T + b.
 
     x [N, D] f32, w [V, D] f32 (embedding layout), b [V] f32,
     targets [N] int32 -> nll [N] f32. Differentiable wrt x, w, b.
     ``v_true``: true vocab size; columns >= v_true (embedding padding rows)
     are excluded from the softmax, matching the XLA path's logits slice.
+    ``mm_dtype``: matmul input precision (f32 default; bf16 halves the MXU
+    time with f32 accumulation — a perf mode, not bit-identical to f32).
     """
-    nll, _ = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0])
+    nll, _ = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0],
+                       mm_dtype)
     return nll
 
 
-def _fwd_rule(x, w, b, targets, vblock, v_true):
-    nll, lse = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0])
+def _fwd_rule(x, w, b, targets, vblock, v_true, mm_dtype):
+    nll, lse = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0],
+                         mm_dtype)
     return nll, (x, w, b, targets, lse)
 
 
-def _bwd_rule(vblock, v_true, res, g):
+def _bwd_rule(vblock, v_true, mm_dtype, res, g):
     x, w, b, targets, lse = res
     dx, dw, db = _bwd_call(x, w, b, targets, lse, g, vblock,
-                           v_true or w.shape[0])
+                           v_true or w.shape[0], mm_dtype)
     return dx, dw, db, None
 
 
@@ -222,7 +232,7 @@ fused_ce_nll.defvjp(_fwd_rule, _bwd_rule)
 
 
 def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
-                               vblock=VBLOCK):
+                               vblock=VBLOCK, mm_dtype=jnp.float32):
     """Masked-mean CE over non-PAD targets via the fused kernel.
 
     y [B, L, D] hidden states; w [V, D] embedding-layout head weights;
@@ -235,7 +245,7 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
     bf = b.astype(jnp.float32)
     n = x.shape[0]
     if n <= NCHUNK:
-        nll = fused_ce_nll(x, wf, bf, tgt, vblock, v_true)
+        nll = fused_ce_nll(x, wf, bf, tgt, vblock, v_true, mm_dtype)
     else:
         # row-chunking keeps each kernel's VMEM bounded; pad the tail chunk
         # (PAD targets there are masked out below)
@@ -247,7 +257,8 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
                 padn = NCHUNK - (stop - start)
                 xc = jnp.concatenate([xc, jnp.zeros((padn, d), x.dtype)])
                 tc = jnp.concatenate([tc, jnp.full((padn,), pad_id, tc.dtype)])
-            chunks.append(fused_ce_nll(xc, wf, bf, tc, vblock, v_true)[:stop - start])
+            chunks.append(fused_ce_nll(xc, wf, bf, tc, vblock, v_true,
+                                       mm_dtype)[:stop - start])
         nll = jnp.concatenate(chunks)
     mask = (tgt != pad_id).astype(jnp.float32)
     total = jnp.sum(nll * mask)

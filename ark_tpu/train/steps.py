@@ -78,6 +78,7 @@ def _loss_fn(model: Model, pad_id: int, config=None):
         from ark_tpu.ops.pallas.logit_ce import fused_masked_cross_entropy
 
         v_true = int(config["vocab_size"])
+        mm_dtype = jnp.dtype(config.get("fused_ce_dtype", "float32"))
 
         def loss(params, triples, seq, rng, beta, row_weights=None):
             del triples
@@ -85,7 +86,8 @@ def _loss_fn(model: Model, pad_id: int, config=None):
                                deterministic=rng is None)
             w, b = model.head(params)
             ce, _ = fused_masked_cross_entropy(y, w, b, seq[:, 1:], pad_id,
-                                               v_true=v_true)
+                                               v_true=v_true,
+                                               mm_dtype=mm_dtype)
             return ce, (ce, jnp.float32(0.0))
     elif model.kind == "lm":
         def loss(params, triples, seq, rng, beta, row_weights=None):
