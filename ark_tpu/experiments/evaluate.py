@@ -1,0 +1,100 @@
+"""Standalone checkpoint evaluation CLI.
+
+The reference evaluates only inside its training loop (final_validation,
+train.py:132-239); this tool runs the same evaluation suite — split loss,
+posterior compression bits, sampling + semantic verification (+ diversity
+for the VAE family) — against any saved checkpoint:
+
+    python -m ark_tpu.experiments.evaluate --checkpoint <path>.pt \
+        [--split validation|test] [--num-samples N] [--seed S]
+
+Prints the final_{split}/* metric dict as one JSON line (same metric names
+as the trainer's final evaluation, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from ark_tpu.models import build_model
+from ark_tpu.train.loop import DataBundle, SamplerBank, sample_and_evaluate
+from ark_tpu.train.state import TrainState
+from ark_tpu.train.steps import make_epoch_fns
+from ark_tpu.data.tokenizer import canonical_graph_string
+from ark_tpu.eval import posterior_bits
+from ark_tpu.utils.checkpoint import load_checkpoint, to_device_tree
+
+
+def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
+                        num_samples: int | None = None, seed: int = 0) -> dict:
+    ckpt = load_checkpoint(ckpt_path)
+    config = dict(ckpt["config"])
+    model = build_model(config)
+    params = to_device_tree(ckpt["model_state_dict"])
+    bundle = DataBundle(config)
+    layout = bundle.layout
+    is_vae = model.kind == "vae"
+
+    data_split = "test" if split == "test" else "val"
+    rng = jax.random.key(seed)
+    rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
+
+    _, eval_epoch = make_epoch_fns(model, layout, config)
+    triples, seq, w = bundle.device_eval(data_split, config["batch_size"])
+    m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
+
+    stats = posterior_bits(model, params, getattr(bundle, data_split), layout,
+                           sample_frac=float(config.get("sample_frac", 0.1)),
+                           rng=k_comp)
+
+    target_n = int(num_samples
+                   or config.get("num_generated_latent_graphs", 1000))
+    sampler_bank = SamplerBank(model, layout, config)
+    title = "graphs from random latent" if is_vae else "ARK samples"
+    res, graphs = sample_and_evaluate(model, params, bundle, config, k_sample,
+                                      target_n, sampler_bank, title)
+
+    name = "test" if split == "test" else "validation"
+    prefix = "latent_" if is_vae else ""
+    out = {
+        f"final_{name}/loss": float(m["loss"]),
+        f"final_{name}/reconstruction_loss": float(m["reconstruction_loss"]),
+        f"final_{name}/kl_loss": float(m["kl_loss"]),
+        f"final_{name}/entity_loss": 0.0,
+        f"final_{name}/compression_bits": stats["avg_total_bits"],
+        f"final_{name}/compression_kl_bits": stats["avg_kl_bits"],
+        f"final_{name}/compression_edge_bits": stats["avg_ar_bits"],
+        f"final_{name}/compression_entity_bits": stats["avg_ar_bits"],
+        f"final_{name}/{prefix}validity_rate": res.get("semantics", 0.0) / 100.0,
+        f"final_{name}/{prefix}novelty_rate": res.get("novel", 0.0) / 100.0,
+        f"final_{name}/{prefix}valid_novelty_rate":
+            res.get("novel_semantics", 0.0) / 100.0,
+    }
+    if is_vae:
+        uniq = {canonical_graph_string(g) for g in graphs}
+        out["diversity/unique_graphs"] = len(uniq)
+        out["diversity/ratio"] = len(uniq) / max(1, len(graphs))
+    out["checkpoint"] = ckpt_path
+    out["epoch"] = int(ckpt.get("epoch", -1))
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("ARK-TPU checkpoint evaluation")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--split", type=str, default="validation",
+                        choices=["validation", "test"])
+    parser.add_argument("--num-samples", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    out = evaluate_checkpoint(args.checkpoint, split=args.split,
+                              num_samples=args.num_samples, seed=args.seed)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -108,3 +108,17 @@ def test_interpolation_figures(wd_movies_sail_ckpt, tmp_path):
     # interpolation figures require a disjoint genre pair; should exist on 60
     assert "latent_interpolation.pdf" in made
     assert "interpolation_sequence.pdf" in made
+
+
+def test_evaluate_cli(wd_movies_sail_ckpt, capsys):
+    from ark_tpu.experiments.evaluate import main
+
+    cfg_path, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    out = main(["--checkpoint", ckpt, "--num-samples", "32"])
+    assert "final_validation/compression_bits" in out
+    assert 0.0 <= out["final_validation/latent_validity_rate"] <= 1.0
+    assert out["diversity/unique_graphs"] >= 1
+    printed = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+    assert _json.loads(printed)["checkpoint"] == ckpt
