@@ -204,6 +204,11 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     """Executes the full reference training protocol; returns final metrics."""
     model_type = config.get("model_type", "ARK")
     config["model_type"] = model_type
+    # Pad the embedding/head vocab dimension to a lane-aligned multiple by
+    # default (TPU tiling + the fused-CE kernel's divisibility; logits are
+    # sliced back so the math matches the unpadded model — models/api.py).
+    # Recorded into the saved config so checkpoints round-trip exactly.
+    config.setdefault("vocab_pad_multiple", 128)
     is_vae = model_type in ("SAIL", "t-SAIL")
 
     if config.get("use_test_for_final_eval", False):
