@@ -122,3 +122,15 @@ def test_evaluate_cli(wd_movies_sail_ckpt, capsys):
     printed = capsys.readouterr().out.strip().splitlines()[-1]
     import json as _json
     assert _json.loads(printed)["checkpoint"] == ckpt
+
+
+def test_inspect_checkpoint_cli(wd_movies_sail_ckpt, capsys):
+    from ark_tpu.utils.inspect_checkpoint import main
+
+    cfg_path, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    main([ckpt, "--params"])
+    out = capsys.readouterr().out
+    assert "ark_tpu.pickle.v1" in out
+    assert "dataset:  wd-movies" in out
+    assert "parameters" in out
