@@ -138,8 +138,10 @@ def random_steps_latent(dec: LatentDecoder, i2e, i2r, n_directions=20,
     dirs = rng.standard_normal((n_directions, d)).astype(np.float32)
     dirs /= np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
     perturbed = z0[None] + epsilon * dirs
-    ref = ints_to_labels(dec.decode(z0[None], beam=3), i2e, i2r)[0]
-    decoded = ints_to_labels(dec.decode(perturbed, beam=3), i2e, i2r)
+    # one dispatch: [z0; perturbed]
+    all_decoded = ints_to_labels(
+        dec.decode(np.concatenate([z0[None], perturbed]), beam=3), i2e, i2r)
+    ref, decoded = all_decoded[0], all_decoded[1:]
     print("\n=== Local Latent Neighborhood Exploration ===")
     print("\n--- Reference Graph (z0) ---")
     for h, r, t in ref:
@@ -160,11 +162,13 @@ def smoothness_line_check(dec: LatentDecoder, i2e, i2r, steps=10, epsilon=0.1,
     z0 = rng.standard_normal(d).astype(np.float32)
     direction = rng.standard_normal(d).astype(np.float32)
     direction /= max(np.linalg.norm(direction), 1e-12)
-    anchor = ints_to_labels(dec.decode(z0[None], beam=beam), i2e, i2r)[0]
     print("\n=== Latent Smoothness Line Walk ===")
     print(f"Steps: {steps} | step size eps = {epsilon}")
     zs = np.stack([z0 + (s * epsilon) * direction for s in range(1, steps + 1)])
-    walk = ints_to_labels(dec.decode(zs, beam=beam), i2e, i2r)
+    # one dispatch: [anchor; walk]
+    decoded = ints_to_labels(
+        dec.decode(np.concatenate([z0[None], zs]), beam=beam), i2e, i2r)
+    anchor, walk = decoded[0], decoded[1:]
     prev, total_local, total_global = anchor, 0.0, 0.0
     for graph in walk:
         local = len(set(prev) & set(graph)) / max(1, len(prev))
@@ -177,21 +181,40 @@ def smoothness_line_check(dec: LatentDecoder, i2e, i2r, steps=10, epsilon=0.1,
     return total_local / steps, total_global / steps
 
 
+def _walk_grid(d, steps, epsilon, n_anchors, n_dirs, rng):
+    """All anchors + all (anchor, dir) walks as ONE latent batch: the whole
+    probe decodes in a single device dispatch (the reference decodes per-z
+    at batch 1, interp:45-78; the ~30 ms/dispatch tunnel latency makes
+    per-walk dispatch the next wall after per-z was removed).
+
+    Returns (all_z [n_anchors + n_anchors*n_dirs*steps, d], draw order
+    matching the per-anchor/per-dir loop of the reference)."""
+    anchors, walks = [], []
+    for _ in range(n_anchors):
+        z0 = rng.standard_normal(d).astype(np.float32)
+        anchors.append(z0)
+        for _ in range(n_dirs):
+            direction = rng.standard_normal(d).astype(np.float32)
+            direction /= max(np.linalg.norm(direction), 1e-12)
+            walks.append(np.stack([z0 + (s * epsilon) * direction
+                                   for s in range(1, steps + 1)]))
+    return np.concatenate([np.stack(anchors)] + walks, axis=0)
+
+
 def latent_smoothness_score(dec: LatentDecoder, steps=10, epsilon=0.1,
                             n_anchors=3, n_dirs=3, beam=3, rng=None):
     """Reference latent_smoothness_score_autoreg (interp:293-352)."""
     rng = rng or np.random.default_rng(0)
     d = dec.model.config["d_latent"]
+    all_z = _walk_grid(d, steps, epsilon, n_anchors, n_dirs, rng)
+    sets = dec.decode_sets(all_z, beam=beam)
     tot_l = tot_g = cnt = 0.0
-    for _ in range(n_anchors):
-        z0 = rng.standard_normal(d).astype(np.float32)
-        anchor = dec.decode_set(z0, beam=beam)
+    idx = n_anchors
+    for a in range(n_anchors):
+        anchor = sets[a]
         for _ in range(n_dirs):
-            direction = rng.standard_normal(d).astype(np.float32)
-            direction /= max(np.linalg.norm(direction), 1e-12)
-            zs = np.stack([z0 + (s * epsilon) * direction
-                           for s in range(1, steps + 1)])
-            walk = dec.decode_sets(zs, beam=beam)
+            walk = sets[idx:idx + steps]
+            idx += steps
             prev = anchor
             for cur in walk:
                 tot_l += jaccard(cur, prev)
@@ -211,17 +234,16 @@ def latent_flip_rate(dec: LatentDecoder, steps=30, epsilon=0.05, n_anchors=5,
     """Reference latent_flip_rate_autoreg (interp:356-424)."""
     rng = rng or np.random.default_rng(0)
     d = dec.model.config["d_latent"]
+    all_z = _walk_grid(d, steps, epsilon, n_anchors, n_dirs, rng)
+    sets = dec.decode_sets(all_z, beam=beam)
     flips = total = 0
     basins = []
-    for _ in range(n_anchors):
-        z0 = rng.standard_normal(d).astype(np.float32)
+    idx = n_anchors
+    for a in range(n_anchors):
         for _ in range(n_dirs):
-            direction = rng.standard_normal(d).astype(np.float32)
-            direction /= max(np.linalg.norm(direction), 1e-12)
-            prev = dec.decode_set(z0, beam=beam)
-            zs = np.stack([z0 + (s * epsilon) * direction
-                           for s in range(1, steps + 1)])
-            walk = dec.decode_sets(zs, beam=beam)
+            prev = sets[a]
+            walk = sets[idx:idx + steps]
+            idx += steps
             basin, last_flip = 1, False
             for cur in walk:
                 flipped = int(cur != prev)
@@ -384,10 +406,12 @@ def qualitative_latent_analysis_wd_movies(model, params, layout, vocabs,
     beam_width = model.config.get("beam_width", 3)
     fig3 = plt.figure(figsize=(18, 4))
     gs = GridSpec(1, 5, figure=fig3, wspace=0.3)
-    for idx, a in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
+    alphas = [0.0, 0.25, 0.5, 0.75, 1.0]
+    za_all = np.stack([(1 - a) * z1 + a * z2 for a in alphas])
+    decoded_sets = dec.decode_sets(za_all, beam=beam_width)  # one dispatch
+    for idx, a in enumerate(alphas):
         ax = fig3.add_subplot(gs[0, idx])
-        za = (1 - a) * z1 + a * z2
-        decoded = sorted(dec.decode_set(za, beam=beam_width))
+        decoded = sorted(decoded_sets[idx])
         labels = ints_to_labels([decoded], i2e, i2r, verbose=False)[0]
         G = nx.DiGraph()
         for h, r, t in labels[:6]:

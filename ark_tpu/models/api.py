@@ -46,8 +46,11 @@ class Model:
     decode_state: Callable
     decode_step: Callable
     encode: Optional[Callable] = None
-    # fused-CE hooks (tied-head models): hidden states + embedding-layout head
-    features: Optional[Callable] = None   # (params, seq, rng, deterministic) -> y [B, L, D]
+    # fused-CE hooks: hidden states + embedding-layout head.
+    #   lm:  features(params, seq, rng, deterministic) -> y [B, L, D]
+    #   vae: features(params, triples, seq, rng, deterministic)
+    #          -> (y [B, L, D], mu, logv)
+    features: Optional[Callable] = None
     head: Optional[Callable] = None       # (params) -> (w [Vp, D], b [Vp])
 
     @property
@@ -69,7 +72,12 @@ def _dtype(config):
     return jnp.dtype(config.get("compute_dtype", "float32"))
 
 
-def build_model(config: dict) -> Model:
+def build_model(config: dict, mesh=None) -> Model:
+    """``mesh``: optional jax.sharding.Mesh with a 'data' axis. The Pallas
+    GRU kernel is then wrapped in shard_map per batch shard (Mosaic custom
+    calls are not GSPMD-partitionable); all XLA ops partition via GSPMD from
+    the input shardings, so a mesh-built model computes exactly the same
+    values as a single-device one."""
     mt = config["model_type"]
     if mt not in MODEL_TYPES:
         raise NotImplementedError(
@@ -103,7 +111,7 @@ def build_model(config: dict) -> Model:
             return decoders.gru_lm_apply(
                 params, seq, dropout_rate=dec_dropout, rng=rng,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size, use_pallas=use_pallas_gru)
+                vocab_out=vocab_size, use_pallas=use_pallas_gru, mesh=mesh)
 
         def decode_state(params, batch):
             return decoders.gru_lm_state(params, batch, dtype)
@@ -119,7 +127,7 @@ def build_model(config: dict) -> Model:
                 return decoders.gru_lm_features(
                     params, seq, dropout_rate=dec_dropout, rng=rng,
                     deterministic=deterministic, dtype=dtype,
-                    use_pallas=use_pallas_gru)
+                    use_pallas=use_pallas_gru, mesh=mesh)
 
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
@@ -190,7 +198,7 @@ def build_model(config: dict) -> Model:
             logits = decoders.gru_cond_apply(
                 params["dec"], z, seq, dropout_rate=dec_dropout, rng=k_dec,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size, use_pallas=use_pallas_gru)
+                vocab_out=vocab_size, use_pallas=use_pallas_gru, mesh=mesh)
             return logits, mu, logv
 
         def decode_state(params, z):
@@ -201,8 +209,22 @@ def build_model(config: dict) -> Model:
                                           tied=tied, dtype=dtype,
                                           vocab_out=vocab_size)
 
+        features = head = None
+        if tied:
+            def features(params, triples, seq, rng=None, deterministic=True):
+                k_enc, k_dec = jax.random.split(rng)
+                z, mu, logv = encode(params, triples, k_enc)
+                y = decoders.gru_cond_features(
+                    params["dec"], z, seq, dropout_rate=dec_dropout,
+                    rng=k_dec, deterministic=deterministic, dtype=dtype,
+                    use_pallas=use_pallas_gru, mesh=mesh)
+                return y, mu, logv
+
+            def head(params):
+                return params["dec"]["tok_emb"], params["dec"]["out"]["b"]
+
         return Model(config, "vae", "gru", init, apply, decode_state,
-                     decode_step, encode=encode)
+                     decode_step, encode=encode, features=features, head=head)
 
     # t-SAIL
     n_heads = config["n_heads"]
@@ -239,5 +261,19 @@ def build_model(config: dict) -> Model:
                                       n_heads, dtype=dtype,
                                       vocab_out=vocab_size)
 
+    def features(params, triples, seq, rng=None, deterministic=True):
+        k_enc, k_dec = jax.random.split(rng)
+        z, mu, logv = encode(params, triples, k_enc,
+                             deterministic=deterministic)
+        y = decoders.txf_cond_features(
+            params["dec"], z, seq, n_heads, rng=k_dec,
+            deterministic=deterministic, dtype=dtype)
+        return y, mu, logv
+
+    def head(params):
+        # the conditional transformer head is untied (reference
+        # models.py:98-114); transpose [D, Vp] -> embedding layout [Vp, D]
+        return params["dec"]["out"]["w"].T, params["dec"]["out"]["b"]
+
     return Model(config, "vae", "txf", init, apply, decode_state, decode_step,
-                 encode=encode)
+                 encode=encode, features=features, head=head)

@@ -145,21 +145,23 @@ def gru_lm_init(key, vocab_size, d_model, n_layers, seq_len, tie_weights=True):
 
 
 def gru_lm_features(p, seq, *, dropout_rate=0.1, rng=None,
-                    deterministic=True, dtype=jnp.float32, use_pallas=False):
+                    deterministic=True, dtype=jnp.float32, use_pallas=False,
+                    mesh=None):
     """Hidden states before the output head (for the fused-CE kernel)."""
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     y, _ = gru_apply(p["gru"], x, dropout_rate=dropout_rate, rng=rng,
-                     deterministic=deterministic, use_pallas=use_pallas)
+                     deterministic=deterministic, use_pallas=use_pallas,
+                     mesh=mesh)
     return y
 
 
 def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
                  tied=True, dtype=jnp.float32, vocab_out=None,
-                 use_pallas=False):
+                 use_pallas=False, mesh=None):
     y = gru_lm_features(p, seq, dropout_rate=dropout_rate, rng=rng,
                         deterministic=deterministic, dtype=dtype,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, mesh=mesh)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
@@ -249,14 +251,25 @@ def _gru_cond_h0(p, z, n_layers, dtype):
     return jnp.broadcast_to(h0[None], (n_layers,) + h0.shape)
 
 
-def gru_cond_apply(p, z, seq, *, dropout_rate=0.1, rng=None,
-                   deterministic=True, tied=True, dtype=jnp.float32,
-                   vocab_out=None, use_pallas=False):
+def gru_cond_features(p, z, seq, *, dropout_rate=0.1, rng=None,
+                      deterministic=True, dtype=jnp.float32,
+                      use_pallas=False, mesh=None):
+    """Hidden states before the output head (for the fused-CE kernel)."""
     n_layers = len(p["gru"]["layers"])
     x = p["tok_emb"][seq].astype(dtype)
     h0 = _gru_cond_h0(p, z, n_layers, dtype)
     y, _ = gru_apply(p["gru"], x, h0, dropout_rate=dropout_rate, rng=rng,
-                     deterministic=deterministic, use_pallas=use_pallas)
+                     deterministic=deterministic, use_pallas=use_pallas,
+                     mesh=mesh)
+    return y
+
+
+def gru_cond_apply(p, z, seq, *, dropout_rate=0.1, rng=None,
+                   deterministic=True, tied=True, dtype=jnp.float32,
+                   vocab_out=None, use_pallas=False, mesh=None):
+    y = gru_cond_features(p, z, seq, dropout_rate=dropout_rate, rng=rng,
+                          deterministic=deterministic, dtype=dtype,
+                          use_pallas=use_pallas, mesh=mesh)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
@@ -291,8 +304,9 @@ def txf_cond_memory(p, z, dtype=jnp.float32):
     return linear(p["z_proj"], z.astype(dtype))[:, None, :]  # [B, 1, D]
 
 
-def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                   deterministic=True, dtype=jnp.float32, vocab_out=None):
+def txf_cond_features(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
+                      deterministic=True, dtype=jnp.float32):
+    """Hidden states before the output head (for the fused-CE kernel)."""
     b, l = seq.shape
     x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     mem = txf_cond_memory(p, z, dtype)
@@ -303,6 +317,13 @@ def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
         x = decoder_layer(lp, x, mem, n_heads, tgt_mask=mask,
                           dropout_rate=dropout_rate, rng=lr,
                           deterministic=deterministic)
+    return x
+
+
+def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
+                   deterministic=True, dtype=jnp.float32, vocab_out=None):
+    x = txf_cond_features(p, z, seq, n_heads, dropout_rate=dropout_rate,
+                          rng=rng, deterministic=deterministic, dtype=dtype)
     logits = linear(p["out"], x)
     if vocab_out is not None and logits.shape[-1] != vocab_out:
         logits = logits[..., :vocab_out]

@@ -53,21 +53,25 @@ def _cell(h, gx, w_hh, b_hh, hidden_size):
 
 
 def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
-              deterministic=True, use_pallas=False):
+              deterministic=True, use_pallas=False, mesh=None):
     """x [B, L, D] -> (y [B, L, H], hT [num_layers, B, H]).
 
     h0: [num_layers, B, H] or None (zeros). With ``use_pallas`` (and
     supported shapes) the time recurrence runs in the fused Pallas kernel
-    (ark_tpu/ops/pallas/gru_scan.py); the lax.scan path otherwise."""
+    (ark_tpu/ops/pallas/gru_scan.py); the lax.scan path otherwise. With
+    ``mesh`` the kernel runs per batch shard under shard_map (the batch
+    axis sharded over 'data'); shape support is then checked against the
+    per-device shard."""
     layers = params["layers"]
     b, l, _ = x.shape
     hidden = layers[0]["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((len(layers), b, hidden), x.dtype)
+    n_data = 1 if mesh is None else dict(mesh.shape).get("data", 1)
     pallas_ok = False
-    if use_pallas:
+    if use_pallas and b % n_data == 0:
         from ark_tpu.ops.pallas.gru_scan import supported
-        pallas_ok = supported(b, hidden) and x.dtype == jnp.float32
+        pallas_ok = supported(b // n_data, hidden) and x.dtype == jnp.float32
     h_finals = []
     out = x
     for li, lp in enumerate(layers):
@@ -77,10 +81,11 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
         gx = (gx + lp["b_ih"]).astype(out.dtype)
 
         if pallas_ok:
-            from ark_tpu.ops.pallas.gru_scan import gru_layer_scan
-            out, hT = gru_layer_scan(gx.astype(jnp.float32),
-                                     lp["w_hh"], lp["b_hh"],
-                                     h0[li].astype(jnp.float32))
+            from ark_tpu.ops.pallas.gru_scan import gru_layer_scan_sharded
+            out, hT = gru_layer_scan_sharded(gx.astype(jnp.float32),
+                                             lp["w_hh"], lp["b_hh"],
+                                             h0[li].astype(jnp.float32),
+                                             mesh)
         else:
             def step(h, gx_t, _lp=lp):
                 h_new = _cell(h, gx_t, _lp["w_hh"], _lp["b_hh"], hidden)

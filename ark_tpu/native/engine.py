@@ -10,6 +10,7 @@ remain the semantic spec — tests/test_native_verifier.py asserts agreement.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -26,9 +27,20 @@ DATASET_KIND = {"syn-paths": 0, "syn-types": 1, "syn-tipr": 2,
                 "wd-movies": 3, "wd-articles": 4}
 
 
-def _lib_path() -> str:
+def _src_path() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "_ark_native.so")
+                        "verifier.cpp")
+
+
+def _lib_path() -> str:
+    # the cached library name embeds the source hash: stale binaries can
+    # never be picked up after verifier.cpp changes (git checkout mtimes are
+    # arbitrary, so an mtime check is not reliable), and the build artifact
+    # is gitignored rather than committed.
+    with open(_src_path(), "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"_ark_native_{digest}.so")
 
 
 def _load() -> ctypes.CDLL | None:
@@ -38,24 +50,23 @@ def _load() -> ctypes.CDLL | None:
     with _LIB_LOCK:
         if _LIB is not None or _BUILD_FAILED:
             return _LIB
-        so = _lib_path()
-        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "verifier.cpp")
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            try:
+        # everything (build AND load/symbol setup) falls back to the
+        # pure-Python verifiers on failure, as the module docstring promises
+        try:
+            so = _lib_path()
+            if not os.path.exists(so):
                 subprocess.run(
                     ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                     "-o", so, src],
+                     "-o", so, _src_path()],
                     check=True, capture_output=True)
-            except Exception as e:  # no compiler / build error -> fallback
-                print(f"[ark_tpu.native] build failed, using Python "
-                      f"fallback: {e}")
-                _BUILD_FAILED = True
-                return None
-        lib = ctypes.CDLL(so)
-        lib.ark_verify_graphs.restype = None
-        lib.ark_graph_hashes.restype = None
+            lib = ctypes.CDLL(so)
+            lib.ark_verify_graphs.restype = None
+            lib.ark_graph_hashes.restype = None
+        except Exception as e:  # no compiler / build / load error
+            print(f"[ark_tpu.native] native engine unavailable, using "
+                  f"Python fallback: {e}")
+            _BUILD_FAILED = True
+            return None
         _LIB = lib
         return _LIB
 
@@ -189,14 +200,31 @@ def graph_hashes_native(graphs, n_entities, n_relations):
 class NativeSemanticEvaluator:
     """Drop-in for eval.semantic.SemanticEvaluator operating on INT graphs
     (before label mapping): same ``organized_results`` percentage surface.
-    The ground-truth hash set is computed once and cached per (dataset, id of
-    train list)."""
+    The ground-truth hash set is computed once and cached per dataset,
+    keyed by CONTENT (length + a sampled triple digest), not object id —
+    Python recycles ids after GC, which could silently reuse a stale
+    ground-truth set for different train data (custom split sizes,
+    ARK_TPU_DATA_DIR overrides)."""
 
     _gt_cache: dict = {}
 
+    @staticmethod
+    def _content_key(name, graphs):
+        h = hashlib.sha256()
+        h.update(str(len(graphs)).encode())
+        # sample a deterministic subset; hashing every triple of a large
+        # train split each call would defeat the cache's purpose
+        step = max(1, len(graphs) // 64)
+        for g in graphs[::step]:
+            h.update(str(len(g)).encode())
+            if g:
+                h.update(str(g[0]).encode())
+                h.update(str(g[-1]).encode())
+        return (name, h.hexdigest())
+
     def __init__(self, name, predicted_graphs_int, train_graphs_int, e2i, r2i):
         self.name = name
-        key = (name, id(train_graphs_int))
+        key = self._content_key(name, train_graphs_int)
         if key not in self._gt_cache:
             gt_hashes, _ = graph_hashes_native(train_graphs_int, len(e2i),
                                                len(r2i))

@@ -232,3 +232,20 @@ def _bwd_rule(res, cots):
 
 
 gru_layer_scan.defvjp(_fwd_rule, _bwd_rule)
+
+
+def gru_layer_scan_sharded(gx, whh, bhh, h0, mesh=None):
+    """``gru_layer_scan`` under a device mesh: the batch axis is sharded over
+    'data' and each device runs the kernel on its shard (weights replicated;
+    the recurrence is independent per batch row, so no collectives). Mosaic
+    custom calls are not GSPMD-partitionable — without this wrapper a mesh
+    run would have to fall back to the XLA lax.scan path."""
+    if mesh is None or dict(mesh.shape).get("data", 1) <= 1:
+        return gru_layer_scan(gx, whh, bhh, h0)
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        gru_layer_scan, mesh=mesh,
+        in_specs=(P("data", None, None), P(), P(), P("data", None)),
+        out_specs=(P("data", None, None), P("data", None)),
+        check_vma=False)(gx, whh, bhh, h0)

@@ -231,13 +231,8 @@ def _bwd_rule(vblock, v_true, mm_dtype, res, g):
 fused_ce_nll.defvjp(_fwd_rule, _bwd_rule)
 
 
-def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
-                               vblock=VBLOCK, mm_dtype=jnp.float32):
-    """Masked-mean CE over non-PAD targets via the fused kernel.
-
-    y [B, L, D] hidden states; w [V, D] embedding-layout head weights;
-    b [V]; targets [B, L]. Returns (ce_mean, n_tokens) — the exact semantics
-    of ops.losses.masked_cross_entropy (torch ignore_index)."""
+def _fused_ce_sums(y, w, b, targets, pad_id, v_true, vblock, mm_dtype):
+    """(sum of non-PAD NLL, non-PAD count) over the rows of this shard."""
     bsz, l, d = y.shape
     x = y.reshape(bsz * l, d).astype(jnp.float32)
     tgt = targets.reshape(-1).astype(jnp.int32)
@@ -261,6 +256,37 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
                                        mm_dtype)[:stop - start])
         nll = jnp.concatenate(chunks)
     mask = (tgt != pad_id).astype(jnp.float32)
-    total = jnp.sum(nll * mask)
-    count = jnp.sum(mask)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
+                               vblock=VBLOCK, mm_dtype=jnp.float32,
+                               mesh=None):
+    """Masked-mean CE over non-PAD targets via the fused kernel.
+
+    y [B, L, D] hidden states; w [V, D] embedding-layout head weights;
+    b [V]; targets [B, L]. Returns (ce_mean, n_tokens) — the exact semantics
+    of ops.losses.masked_cross_entropy (torch ignore_index).
+
+    With ``mesh`` (a Mesh with a 'data' axis of size > 1), the kernel runs
+    under shard_map: each device computes its batch shard's (sum, count)
+    locally — Mosaic custom calls are not GSPMD-partitionable, so this is
+    what lets the kernel engage inside a sharded train step — and the
+    masked mean is psum'd over 'data' (exactly the single-device value)."""
+    if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def local(y, w, b, targets):
+            total, count = _fused_ce_sums(y, w, b, targets, pad_id, v_true,
+                                          vblock, mm_dtype)
+            return (jax.lax.psum(total, "data"),
+                    jax.lax.psum(count, "data"))
+
+        total, count = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data", None, None), P(), P(), P("data", None)),
+            out_specs=(P(), P()), check_vma=False)(y, w, b, targets)
+    else:
+        total, count = _fused_ce_sums(y, w, b, targets, pad_id, v_true,
+                                      vblock, mm_dtype)
     return total / jnp.maximum(count, 1.0), count

@@ -2,8 +2,13 @@ from ark_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
     batch_sharding,
+    place_state,
+    place_batch,
+    replicate,
     make_parallel_train_step,
+    make_parallel_sampler,
 )
 
-__all__ = ["make_mesh", "param_shardings", "batch_sharding",
-           "make_parallel_train_step"]
+__all__ = ["make_mesh", "param_shardings", "batch_sharding", "place_state",
+           "place_batch", "replicate", "make_parallel_train_step",
+           "make_parallel_sampler"]

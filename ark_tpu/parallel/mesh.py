@@ -24,15 +24,12 @@ insert the collectives (the scaling-book recipe).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ark_tpu.ops.losses import kl_mean_weighted, masked_cross_entropy
-from ark_tpu.train.state import TrainState, adam_tx
+from ark_tpu.train.state import TrainState
 
 
 def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
@@ -85,69 +82,67 @@ def batch_sharding(mesh: Mesh):
     return make
 
 
+def place_state(state: TrainState, mesh: Mesh,
+                shard_vocab: bool = False) -> TrainState:
+    """Put params/opt_state on the mesh per ``param_shardings``."""
+    params = jax.device_put(state.params,
+                            param_shardings(state.params, mesh, shard_vocab))
+    opt_state = jax.device_put(
+        state.opt_state, param_shardings(state.opt_state, mesh, shard_vocab))
+    return TrainState(params, opt_state)
+
+
+def place_batch(arr, mesh: Mesh):
+    """Shard an array's leading (batch) axis over 'data'."""
+    arr = jnp.asarray(arr)
+    return jax.device_put(arr, batch_sharding(mesh)(arr))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree across the mesh (e.g. the full data arrays the
+    epoch scan gathers shuffled batches from)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), repl), tree)
+
+
 def make_parallel_train_step(model, layout, config, mesh: Mesh,
                              shard_vocab: bool = False):
-    """A jit train step with explicit input shardings: state per
-    ``param_shardings``, batch over 'data'. Gradient psum over ICI and the
-    sharded-logits logsumexp collectives are inserted by XLA from the
-    sharding annotations.
+    """The unified train step (ark_tpu/train/steps.py::make_train_step) on a
+    mesh: ONE loss/optimizer implementation serves the single-device, the
+    data-parallel and the vocab-sharded paths; gradient psum over ICI and
+    the sharded-logits logsumexp collectives are inserted by XLA from the
+    sharding annotations, and the Pallas kernels run per data shard via
+    shard_map.
 
-    Returns (step, place_state, place_batch):
+    Returns (step, place_state_fn, place_batch_fn):
       step(state, triples, seq, rng, lr, beta) -> (state, metrics)
-      place_state(state) / place_batch(arr) put inputs on the mesh."""
+      place_state_fn(state) / place_batch_fn(arr) put inputs on the mesh."""
+    from ark_tpu.train.steps import make_train_step
+
     pad_id = layout.special_tokens["PAD"]
-    tx = adam_tx()
-    is_vae = model.kind == "vae"
-
-    def loss_fn(params, triples, seq, rng, beta):
-        if is_vae:
-            logits, mu, logv = model.apply(params, triples, seq[:, :-1],
-                                           rng=rng, deterministic=False)
-            ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id)
-            kl = kl_mean_weighted(mu, logv)
-            return ce + beta * kl, (ce, kl)
-        logits = model.apply(params, seq[:, :-1], rng=rng, deterministic=False)
-        ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id)
-        return ce, (ce, jnp.float32(0.0))
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, triples, seq, rng, lr, beta):
-        (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, triples, seq, rng, beta)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return TrainState(params, opt_state), {
-            "loss": loss, "reconstruction_loss": ce, "kl_loss": kl}
-
-    p_shard = None
-
-    def place_state(state: TrainState) -> TrainState:
-        nonlocal p_shard
-        p_shard = param_shardings(state.params, mesh, shard_vocab)
-        params = jax.device_put(state.params, p_shard)
-        o_shard = param_shardings(state.opt_state, mesh, shard_vocab)
-        opt_state = jax.device_put(state.opt_state, o_shard)
-        return TrainState(params, opt_state)
-
-    def place_batch(arr):
-        return jax.device_put(jnp.asarray(arr), batch_sharding(mesh)(arr))
-
-    return step, place_state, place_batch
+    step = make_train_step(model, pad_id, config, mesh=mesh,
+                           shard_vocab=shard_vocab)
+    return (step,
+            lambda state: place_state(state, mesh, shard_vocab),
+            lambda arr: place_batch(arr, mesh))
 
 
 def make_parallel_sampler(model, layout, mesh: Mesh, *, sample=True,
                           temperature=1.0, top_k=0, top_p=0.0, forced=()):
     """Data-parallel sampling: the batch axis is sharded over 'data', params
     replicated; the whole generation scan runs SPMD (each chip decodes its
-    shard, no cross-chip communication needed).
+    shard, no cross-chip communication needed). The decode state and token
+    stream are PINNED to 'data' via sharding constraints inside the scan
+    (the lm decode state is created inside the jit, so without the pin XLA
+    could legally replicate the whole generation on every chip;
+    tests/test_parallel.py checks the compiled output sharding).
 
     lm models:  sampler(params, rng, batch_size) with batch_size % data == 0.
     vae models: sampler(params, rng, z) with z pre-placed via place_batch."""
     from ark_tpu.sample import make_sampler
 
     base = make_sampler(model, layout, sample=sample, temperature=temperature,
-                        top_k=top_k, top_p=top_p, forced=forced)
+                        top_k=top_k, top_p=top_p, forced=forced, mesh=mesh)
     repl = NamedSharding(mesh, P())
 
     def place_params(params):

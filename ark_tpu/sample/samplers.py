@@ -151,23 +151,42 @@ def _force(logits, pos_idx, forced):
 
 
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
-                 top_p=0.0, forced=()):
+                 top_p=0.0, forced=(), mesh=None):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
     vae models: sampler(params, rng, z)          -> seq [B, seq_len] int32
     (batch_size is static; all sampling knobs are compile-time constants.)
+
+    With ``mesh``, the decode state and per-step tokens are PINNED to the
+    'data' axis with sharding constraints — the lm decode state is created
+    inside the jit, so without the constraint GSPMD is free to replicate
+    the whole generation on every chip.
     """
     st = layout.special_tokens
     bos, eos = st["BOS"], st["EOS"]
     L = layout.seq_len
     forced = tuple(forced)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _pin(tree):
+            def one(x):
+                spec = P("data", *([None] * (jnp.ndim(x) - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree.map(one, tree)
+    else:
+        def _pin(tree):
+            return tree
+
     def _scan_sample(params, rng, state, batch):
         def body(carry, t):
             state, token, finished, rng = carry
             rng, k = jax.random.split(rng)
             logits, state = model.decode_step(params, state, token, t)
+            state = _pin(state)
             logits = _force(logits.astype(jnp.float32), t + 1, forced)
             if sample:
                 scaled = (logits / float(temperature)
@@ -182,15 +201,15 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                         k, jnp.log(jnp.clip(probs, 1e-30, None)))
             else:
                 nxt = jnp.argmax(logits, axis=-1)
-            nxt = jnp.where(finished, eos, nxt).astype(jnp.int32)
+            nxt = _pin(jnp.where(finished, eos, nxt).astype(jnp.int32))
             finished = finished | (nxt == eos)
             return (state, nxt, finished, rng), nxt
 
-        token0 = jnp.full((batch,), bos, jnp.int32)
-        finished0 = jnp.zeros((batch,), bool)
+        token0 = _pin(jnp.full((batch,), bos, jnp.int32))
+        finished0 = _pin(jnp.zeros((batch,), bool))
         (_, _, _, _), toks = jax.lax.scan(
-            body, (state, token0, finished0, rng), jnp.arange(L - 1))
-        seq = jnp.concatenate([token0[:, None], toks.T], axis=1)
+            body, (_pin(state), token0, finished0, rng), jnp.arange(L - 1))
+        seq = _pin(jnp.concatenate([token0[:, None], toks.T], axis=1))
         return seq
 
     if model.kind == "lm":

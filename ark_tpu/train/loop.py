@@ -120,11 +120,16 @@ class SamplerBank:
     """Caches compiled samplers across epochs (jit caches key on function
     identity, so the sampler must be built once per run)."""
 
-    def __init__(self, model, layout, config, chunk=512):
+    def __init__(self, model, layout, config, chunk=512, mesh=None):
         self.model = model
         self.layout = layout
         self.config = config
         self.chunk = int(config.get("sample_chunk", chunk))
+        self.mesh = mesh
+        if mesh is not None:
+            # the generation batch must divide the data axis
+            nd = dict(mesh.shape).get("data", 1)
+            self.chunk = ((self.chunk + nd - 1) // nd) * nd
         self._lm_sampler = None
         self._latent_sampler = None
 
@@ -136,7 +141,7 @@ class SamplerBank:
                 self.model, self.layout, sample=True,
                 temperature=self.config.get("temperature", 1.0),
                 top_p=self.config.get("top_p", 0.9),
-                top_k=self.config.get("top_k", 0))
+                top_k=self.config.get("top_k", 0), mesh=self.mesh)
         outs = []
         got = 0
         while got < target_n:
@@ -150,7 +155,7 @@ class SamplerBank:
         training-time evaluation path, ablation_study.py:682-720)."""
         if self._latent_sampler is None:
             self._latent_sampler = make_sampler(self.model, self.layout,
-                                                sample=False)
+                                                sample=False, mesh=self.mesh)
         d_latent = self.config["d_latent"]
         outs = []
         got = 0
@@ -223,7 +228,28 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     print(f"Entities: {layout.num_entities}, Relations: {layout.num_relations}, "
           f"vocab: {layout.vocab_size}, seq_len: {layout.seq_len}")
 
-    model = build_model(config)
+    # -------- device mesh: auto data-parallel over all local devices -------
+    # (the reference has no distributed machinery, SURVEY §2 rows P-1..P-3;
+    # this is the TPU-native addition: one GSPMD-partitioned program, batch
+    # over 'data', optionally vocab over 'model' with shard_vocab: true)
+    mesh = None
+    shard_vocab = False
+    n_dev = jax.device_count()
+    if n_dev > 1 and str(config.get("mesh", "auto")) != "off":
+        from ark_tpu.parallel import make_mesh
+        axes = dict(config.get("mesh_axes") or {"data": n_dev})
+        shard_vocab = bool(config.get("shard_vocab", False)) and "model" in axes
+        if int(config["batch_size"]) % int(axes.get("data", 1)) == 0:
+            mesh = make_mesh(axes)
+            print(f"Device mesh: {axes} over {n_dev} devices"
+                  + (" (vocab-sharded embedding/head)" if shard_vocab else ""))
+        else:
+            warnings.warn(
+                f"batch_size {config['batch_size']} not divisible by the "
+                f"'data' mesh axis {axes.get('data')}; training single-device",
+                UserWarning, stacklevel=2)
+
+    model = build_model(config, mesh=mesh)
     print(f"Using model: {model_type}")
     rng = jax.random.key(int(config.get("seed", 0)))
     rng, k_init = jax.random.split(rng)
@@ -231,6 +257,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
     start_epoch = 0
     best_val_loss = float("inf")
+    resumed_comp_bits = 1e12
     # functional resume (reference declares but never reads these keys)
     if config.get("resume_from_checkpoint") and config.get("checkpoint_path"):
         path = config["checkpoint_path"]
@@ -239,15 +266,34 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             state = TrainState(to_device_tree(ckpt["model_state_dict"]),
                                to_device_tree(ckpt["optimizer_state_dict"]))
             start_epoch = int(ckpt["epoch"])
-            best_val_loss = float(ckpt.get("val_loss", float("inf")))
+            best_val_loss = float(ckpt.get("best_val_loss",
+                                           ckpt.get("val_loss", float("inf"))))
+            resumed_comp_bits = float(ckpt.get("best_comp_bits", 1e12))
+            if ckpt.get("rng_state") is not None:
+                # continue the exact RNG stream (sampling/augmentation/z
+                # draws match an uninterrupted run)
+                rng = jax.random.wrap_key_data(jnp.asarray(ckpt["rng_state"]))
             print(f"Resumed from {path} at epoch {start_epoch}")
 
-    train_epoch_fn, eval_epoch_fn = make_epoch_fns(model, layout, config)
-    train_triples, train_seq = bundle.device_train()
-    val_triples, val_seq, val_w = bundle.device_eval("val", config["batch_size"])
-    sampler_bank = SamplerBank(model, layout, config)
+    if mesh is not None:
+        from ark_tpu.parallel import place_state, replicate
+        state = place_state(state, mesh, shard_vocab)
 
-    best_comp_bits = 1e12
+        def _repl(arrs):
+            return replicate(arrs, mesh)
+    else:
+        def _repl(arrs):
+            return arrs
+
+    train_epoch_fn, eval_epoch_fn = make_epoch_fns(model, layout, config,
+                                                   mesh=mesh,
+                                                   shard_vocab=shard_vocab)
+    train_triples, train_seq = _repl(bundle.device_train())
+    val_triples, val_seq, val_w = _repl(
+        bundle.device_eval("val", config["batch_size"]))
+    sampler_bank = SamplerBank(model, layout, config, mesh=mesh)
+
+    best_comp_bits = resumed_comp_bits
     run.log({"objective": best_comp_bits})
 
     num_epochs = int(config["num_epochs"])
@@ -269,7 +315,14 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         save_checkpoint(path, epoch=epoch, params=state.params,
                         opt_state=state.opt_state, scheduler_state=sched_state,
                         val_loss=val_loss, config=config, vocabs=vocabs,
-                        dataset_meta=dataset_meta)
+                        dataset_meta=dataset_meta,
+                        extras={
+                            # resume continuity (ADVICE r1): the post-split
+                            # rng of the NEXT epoch, best-so-far objective
+                            "rng_state": np.asarray(jax.random.key_data(rng)),
+                            "best_comp_bits": float(best_comp_bits),
+                            "best_val_loss": float(best_val_loss),
+                        })
 
     for epoch in range(start_epoch, num_epochs):
         print(f"\nEpoch {epoch + 1}/{num_epochs}")
@@ -367,13 +420,13 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
     # ------------------------- final validation ----------------------------
     final_metrics = final_validation(model, state, bundle, config, run, rng,
-                                     sampler_bank, eval_epoch_fn)
+                                     sampler_bank, eval_epoch_fn, mesh=mesh)
     run.log(final_metrics)
     return final_metrics
 
 
 def final_validation(model, state, bundle, config, run, rng, sampler_bank,
-                     eval_epoch_fn):
+                     eval_epoch_fn, mesh=None):
     """Reference final_validation (train.py:132-239): eval-set loss +
     compression + sampled-graph semantic evaluation."""
     use_test = config.get("use_test_for_final_eval", False)
@@ -388,6 +441,9 @@ def final_validation(model, state, bundle, config, run, rng, sampler_bank,
     layout = bundle.layout
     rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
     triples, seq, w = bundle.device_eval(split, config["batch_size"])
+    if mesh is not None:
+        from ark_tpu.parallel import replicate
+        triples, seq, w = replicate((triples, seq, w), mesh)
     m = eval_epoch_fn(state.params, triples, seq, w, k_eval, b)
     stats = posterior_bits(model, state.params, getattr(bundle, split), layout,
                            sample_frac=float(config.get("sample_frac", 0.1)),

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ark_tpu.models.api import Model
 from ark_tpu.ops.losses import kl_mean_weighted, masked_cross_entropy
@@ -56,38 +57,74 @@ def _flag(config, key) -> bool:
     return bool(v)
 
 
-def _use_fused_ce(model: Model, config) -> bool:
+def _data_size(mesh) -> int:
+    return 1 if mesh is None else dict(mesh.shape).get("data", 1)
+
+
+def _batch_constrainer(mesh):
+    """Pin the leading (batch) axis of arrays to the mesh's 'data' axis
+    inside jit (GSPMD otherwise only sees input shardings, which the epoch
+    scan's on-device gathers erase)."""
+    if mesh is None:
+        return lambda x: x
+
+    def constrain(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
+
+
+def _use_fused_ce(model: Model, config, mesh=None) -> bool:
     """The Pallas fused logits+CE kernel applies when requested (or 'auto'
-    on TPU), the model exposes tied-head hooks, and shapes meet the kernel
-    constraints."""
+    on TPU), the model exposes head hooks, and the (per data-shard) shapes
+    meet the kernel constraints."""
     if not _flag(config, "use_fused_ce") or model.features is None:
         return False
     from ark_tpu.ops.pallas.logit_ce import supported
 
     bs = int(config["batch_size"])
+    nd = _data_size(mesh)
+    if bs % nd != 0:
+        return False
     l = int(config["seq_len"]) - 1
     d = int(config["d_model"])
     mult = int(config.get("vocab_pad_multiple", 1))
     vp = ((config["vocab_size"] + mult - 1) // mult) * mult
-    return supported(bs * l, d, vp)
+    return supported((bs // nd) * l, d, vp)
 
 
-def _loss_fn(model: Model, pad_id: int, config=None):
-    fused = config is not None and _use_fused_ce(model, config)
-    if model.kind == "lm" and fused:
+def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
+             shard_vocab=False):
+    # vocab-sharded heads take the XLA sharded-logits path (GSPMD inserts
+    # the logsumexp collectives); the fused kernel covers the replicated-head
+    # (DP) layout.
+    fused = (config is not None and not shard_vocab
+             and _use_fused_ce(model, config, mesh))
+    if fused:
         from ark_tpu.ops.pallas.logit_ce import fused_masked_cross_entropy
 
         v_true = int(config["vocab_size"])
         mm_dtype = jnp.dtype(config.get("fused_ce_dtype", "float32"))
 
+        def fused_ce(params, y, targets, row_weights):
+            w, b = model.head(params)
+            if row_weights is not None:
+                # row_weights are 0/1 ragged-batch masks (train/loop.py);
+                # rows with weight 0 become all-PAD targets, which the
+                # kernel's PAD mask then excludes — same math as the XLA
+                # path's mask multiply.
+                targets = jnp.where(row_weights[:, None] > 0, targets, pad_id)
+            return fused_masked_cross_entropy(y, w, b, targets, pad_id,
+                                              v_true=v_true,
+                                              mm_dtype=mm_dtype, mesh=mesh)
+
+    if model.kind == "lm" and fused:
         def loss(params, triples, seq, rng, beta, row_weights=None):
             del triples
             y = model.features(params, seq[:, :-1], rng=rng,
                                deterministic=rng is None)
-            w, b = model.head(params)
-            ce, _ = fused_masked_cross_entropy(y, w, b, seq[:, 1:], pad_id,
-                                               v_true=v_true,
-                                               mm_dtype=mm_dtype)
+            ce, _ = fused_ce(params, y, seq[:, 1:], row_weights)
             return ce, (ce, jnp.float32(0.0))
     elif model.kind == "lm":
         def loss(params, triples, seq, rng, beta, row_weights=None):
@@ -95,6 +132,14 @@ def _loss_fn(model: Model, pad_id: int, config=None):
             logits = model.apply(params, seq[:, :-1], rng=rng, deterministic=rng is None)
             ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, row_weights)
             return ce, (ce, jnp.float32(0.0))
+    elif fused:
+        def loss(params, triples, seq, rng, beta, row_weights=None):
+            rng_model, _ = jax.random.split(rng)
+            y, mu, logv = model.features(params, triples, seq[:, :-1],
+                                         rng=rng_model, deterministic=False)
+            ce, _ = fused_ce(params, y, seq[:, 1:], row_weights)
+            kl = kl_mean_weighted(mu, logv, row_weights)
+            return ce + beta * kl, (ce, kl)
     else:
         def loss(params, triples, seq, rng, beta, row_weights=None):
             rng_model, _ = jax.random.split(rng)
@@ -107,14 +152,26 @@ def _loss_fn(model: Model, pad_id: int, config=None):
     return loss
 
 
-def make_train_step(model: Model, pad_id: int):
+def make_train_step(model: Model, pad_id: int, config=None, mesh=None,
+                    shard_vocab=False):
     """Single-batch fused step: (state, triples, seq, rng, lr, beta) ->
-    (state, metrics)."""
+    (state, metrics).
+
+    With ``mesh``, the step is the SAME program partitioned by GSPMD: batch
+    arrays are constrained to the 'data' axis (gradients psum over ICI come
+    from the sharding annotations), optionally with the embedding/head vocab
+    dimension sharded over 'model' (place the state via
+    ark_tpu.parallel.place_state first). Values are identical to the
+    single-device step — GSPMD partitions the computation, it does not
+    change it. The model must have been built with the same mesh
+    (build_model(config, mesh=mesh)) so its Pallas kernels shard_map."""
     tx = adam_tx()
-    loss_fn = _loss_fn(model, pad_id)
+    loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
+    constrain = _batch_constrainer(mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, triples, seq, rng, lr, beta):
+        triples, seq = constrain(triples), constrain(seq)
         (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, triples, seq, rng, beta)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -128,8 +185,6 @@ def make_train_step(model: Model, pad_id: int):
 
 def make_eval_step(model: Model, pad_id: int):
     """Single-batch eval metrics (deterministic; VAE still samples z)."""
-    loss_fn = _loss_fn(model, pad_id)
-
     @jax.jit
     def step(params, triples, seq, rng, beta, row_weights):
         if model.kind == "lm":
@@ -146,7 +201,8 @@ def make_eval_step(model: Model, pad_id: int):
     return step
 
 
-def make_epoch_fns(model: Model, layout, config):
+def make_epoch_fns(model: Model, layout, config, mesh=None,
+                   shard_vocab=False):
     """Whole-epoch compiled scans.
 
     Returns (train_epoch, eval_epoch):
@@ -156,6 +212,14 @@ def make_epoch_fns(model: Model, layout, config):
     multiple of batch_size (drop_last=True, reference train.py:369); eval
     arrays must be pre-padded to a multiple of batch_size with
     row_weights=0 on padding rows.
+
+    With ``mesh``, each scan step's batch is constrained to the 'data' axis
+    (data parallelism via GSPMD — exactly the single-device computation,
+    partitioned) and, with ``shard_vocab``, the embedding/head stay sharded
+    over 'model'. The full data arrays stay replicated (the largest split is
+    ~17 MB; replicating beats gathering shuffled rows over ICI every step).
+    The model must have been built with the same mesh and the state placed
+    via ark_tpu.parallel.place_state.
     """
     pad_id = layout.special_tokens["PAD"]
     bos = layout.special_tokens["BOS"]
@@ -164,7 +228,8 @@ def make_epoch_fns(model: Model, layout, config):
     shuffle = bool(config.get("shuffle_train", False))
     permute = bool(config.get("permute_triples", False)) and not layout.use_padding
     tx = adam_tx()
-    loss_fn = _loss_fn(model, pad_id, config)
+    loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
+    constrain = _batch_constrainer(mesh)
     is_vae = model.kind == "vae"
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -188,6 +253,7 @@ def make_epoch_fns(model: Model, layout, config):
                     triples, layout.ent_base, layout.rel_base, bos, eos)
             else:
                 seq = seq_all[idx]
+            triples, seq = constrain(triples), constrain(seq)
             (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, triples, seq, k_drop, beta)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -218,6 +284,7 @@ def make_epoch_fns(model: Model, layout, config):
                 triples = permute_triples_device(triples, k_perm)
                 seq = build_seq_from_triples(
                     triples, layout.ent_base, layout.rel_base, bos, eos)
+            triples, seq = constrain(triples), constrain(seq)
             if is_vae:
                 logits, mu, logv = model.apply(params, triples, seq[:, :-1],
                                                rng=k, deterministic=True)

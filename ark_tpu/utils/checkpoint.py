@@ -34,7 +34,11 @@ def to_device_tree(tree):
 
 def save_checkpoint(path: str, *, epoch: int, params, opt_state, scheduler_state,
                     val_loss: float, config: dict, vocabs: dict,
-                    dataset_meta: dict) -> None:
+                    dataset_meta: dict, extras: dict | None = None) -> None:
+    """``extras`` carries additive keys beyond the reference schema — the
+    trainer stores the RNG stream (``rng_state``), ``best_comp_bits`` and
+    ``best_val_loss`` so a resumed run's sampling randomness and 'objective'
+    logging continue the uninterrupted trajectory."""
     payload = {
         "epoch": epoch,
         "model_state_dict": to_numpy_tree(params),
@@ -46,10 +50,31 @@ def save_checkpoint(path: str, *, epoch: int, params, opt_state, scheduler_state
         "dataset_meta": dataset_meta,
         "format": "ark_tpu.pickle.v1",
     }
+    if extras:
+        payload.update(extras)
     with open(path, "wb") as f:
         pickle.dump(payload, f, protocol=4)
 
 
+# Unpickling arbitrary files executes arbitrary code (torch.load in the
+# reference has the same property). The loader below only reconstructs data:
+# basic containers, numpy arrays/scalars, and optax's named-tuple optimizer
+# states — anything else (os.system, builtins.eval gadgets, ...) is refused.
+_SAFE_BUILTINS = {"complex", "set", "frozenset", "bytearray", "range",
+                  "slice", "tuple", "list", "dict"}
+
+
+class _SafeUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module == "builtins" and name in _SAFE_BUILTINS:
+            return super().find_class(module, name)
+        if module.split(".")[0] in ("numpy", "optax", "jax"):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"checkpoint references {module}.{name}, which is not a known "
+            f"data type — refusing to unpickle")
+
+
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _SafeUnpickler(f).load()

@@ -108,6 +108,70 @@ def test_resume_from_checkpoint(small_datasets, tmp_path):
     assert epochs == [3, 4]  # resumed after epoch 2
 
 
+def test_resume_continues_rng_stream(small_datasets, tmp_path):
+    """A 2-epoch run resumed to 4 epochs reproduces the uninterrupted
+    4-epoch run's losses exactly — the checkpoint carries the RNG stream
+    (permutation augmentation + dropout randomness), best_val_loss and
+    best_comp_bits (ADVICE r1)."""
+    from ark_tpu.experiments.train import main
+
+    def losses(run_dir):
+        out = {}
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            for line in f:
+                d = json.loads(line)
+                if "epoch" in d:
+                    out[d["epoch"]] = (d["train/loss"], d["val/loss"])
+        return out
+
+    # constant lr: the cosine schedule's T_max=num_epochs would make the
+    # 2-epoch producer's trajectory differ from the 4-epoch reference run
+    cfg4 = _tiny_config(tmp_path, num_epochs=4, verify_every=10,
+                        compression_log_every=10, lr_scheduler=False)
+    d_full = str(tmp_path / "full")
+    main(["--config", cfg4, "--checkpoint-dir", d_full])
+    full = losses(os.path.join(d_full, os.listdir(d_full)[0]))
+
+    cfg2 = _tiny_config(tmp_path, num_epochs=2, verify_every=10,
+                        compression_log_every=10, lr_scheduler=False)
+    d_a = str(tmp_path / "a")
+    main(["--config", cfg2, "--checkpoint-dir", d_a])
+    ckpt = os.path.join(d_a, os.listdir(d_a)[0],
+                        "syn-paths_ARK_checkpoint_epoch_2.pt")
+    cfg_res = _tiny_config(tmp_path, num_epochs=4, verify_every=10,
+                           compression_log_every=10, lr_scheduler=False,
+                           resume_from_checkpoint=True, checkpoint_path=ckpt)
+    d_b = str(tmp_path / "b")
+    main(["--config", cfg_res, "--checkpoint-dir", d_b])
+    resumed = losses(os.path.join(d_b, os.listdir(d_b)[0]))
+
+    for epoch in (3, 4):
+        assert abs(full[epoch][0] - resumed[epoch][0]) < 1e-5, (
+            epoch, full[epoch], resumed[epoch])
+        assert abs(full[epoch][1] - resumed[epoch][1]) < 1e-5
+
+
+def test_checkpoint_loader_refuses_code_execution(tmp_path):
+    """load_checkpoint only reconstructs data — a pickle smuggling a callable
+    (the os.system gadget) is refused instead of executed (ADVICE r1)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from ark_tpu.utils import load_checkpoint
+
+    class Evil:
+        def __reduce__(self):
+            import os as _os
+            return (_os.system, ("echo pwned",))
+
+    p = tmp_path / "evil.pt"
+    with open(p, "wb") as f:
+        pickle.dump({"model_state_dict": Evil()}, f)
+    with _pytest.raises(pickle.UnpicklingError):
+        load_checkpoint(str(p))
+
+
 def test_kgvae_compat_entrypoint(small_datasets, tmp_path):
     import subprocess
 
