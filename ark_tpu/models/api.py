@@ -52,6 +52,10 @@ class Model:
     #          -> (y [B, L, D], mu, logv)
     features: Optional[Callable] = None
     head: Optional[Callable] = None       # (params) -> (w [Vp, D], b [Vp])
+    # pre-head decode step (params, state, token, pos) -> (y [B, D], state);
+    # with ``head``, powers the fused sampling kernel
+    # (ops/pallas/sample_step.py) which never materializes [B, V] logits
+    decode_step_features: Optional[Callable] = None
 
     @property
     def model_type(self) -> str:
@@ -132,8 +136,13 @@ def build_model(config: dict, mesh=None) -> Model:
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
 
+        def decode_step_features(params, state, token, pos):
+            return decoders.gru_lm_step_features(params, state, token, pos,
+                                                 dtype=dtype)
+
         return Model(config, "lm", "gru", init, apply, decode_state,
-                     decode_step, features=features, head=head)
+                     decode_step, features=features, head=head,
+                     decode_step_features=decode_step_features)
 
     if mt == "t-ARK":
         n_heads = config["n_heads"]
@@ -166,8 +175,13 @@ def build_model(config: dict, mesh=None) -> Model:
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
 
+        def decode_step_features(params, state, token, pos):
+            return decoders.txf_lm_step_features(params, state, token, pos,
+                                                 n_heads, dtype=dtype)
+
         return Model(config, "lm", "txf", init, apply, decode_state,
-                     decode_step, features=features, head=head)
+                     decode_step, features=features, head=head,
+                     decode_step_features=decode_step_features)
 
     # ------------------------------ VAE family ------------------------------
     d_latent = config["d_latent"]
@@ -223,8 +237,13 @@ def build_model(config: dict, mesh=None) -> Model:
             def head(params):
                 return params["dec"]["tok_emb"], params["dec"]["out"]["b"]
 
+        def decode_step_features(params, state, token, pos):
+            return decoders.gru_cond_step_features(params["dec"], state,
+                                                   token, pos, dtype=dtype)
+
         return Model(config, "vae", "gru", init, apply, decode_state,
-                     decode_step, encode=encode, features=features, head=head)
+                     decode_step, encode=encode, features=features, head=head,
+                     decode_step_features=decode_step_features)
 
     # t-SAIL
     n_heads = config["n_heads"]
@@ -275,5 +294,10 @@ def build_model(config: dict, mesh=None) -> Model:
         # models.py:98-114); transpose [D, Vp] -> embedding layout [Vp, D]
         return params["dec"]["out"]["w"].T, params["dec"]["out"]["b"]
 
+    def decode_step_features(params, state, token, pos):
+        return decoders.txf_cond_step_features(params["dec"], state, token,
+                                               pos, n_heads, dtype=dtype)
+
     return Model(config, "vae", "txf", init, apply, decode_state, decode_step,
-                 encode=encode, features=features, head=head)
+                 encode=encode, features=features, head=head,
+                 decode_step_features=decode_step_features)

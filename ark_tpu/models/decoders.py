@@ -171,11 +171,17 @@ def gru_lm_state(p, batch, dtype=jnp.float32):
     return jnp.zeros((batch, n_layers, h), dtype)
 
 
+def gru_lm_step_features(p, state, token, pos, *, dtype=jnp.float32):
+    """token [B] -> (hidden y [B, D], state) — the pre-head decode step
+    (for the fused sampling kernel, ops/pallas/sample_step.py)."""
+    x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)
+    return gru_step(p["gru"], x, state)
+
+
 def gru_lm_step(p, state, token, pos, *, tied=True, dtype=jnp.float32,
                 vocab_out=None):
     """token [B] -> (logits [B, V], state)."""
-    x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)
-    y, state = gru_step(p["gru"], x, state)
+    y, state = gru_lm_step_features(p, state, token, pos, dtype=dtype)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out), state
 
 
@@ -221,14 +227,21 @@ def txf_lm_state(p, batch, seq_len, dtype=jnp.float32):
     return _empty_caches(len(p["txf"]), batch, seq_len, d, dtype)
 
 
-def txf_lm_step(p, state, token, pos, n_heads, *, tied=True,
-                dtype=jnp.float32, vocab_out=None):
+def txf_lm_step_features(p, state, token, pos, n_heads, *,
+                         dtype=jnp.float32):
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)[:, None, :]
     new_state = []
     for lp, cache in zip(p["txf"], state):
         x, cache = _encoder_layer_step(lp, x, cache, pos, n_heads)
         new_state.append(cache)
-    logits = _head_apply(p["out"], p["tok_emb"], x[:, 0, :], tied, vocab_out)
+    return x[:, 0, :], new_state
+
+
+def txf_lm_step(p, state, token, pos, n_heads, *, tied=True,
+                dtype=jnp.float32, vocab_out=None):
+    y, new_state = txf_lm_step_features(p, state, token, pos, n_heads,
+                                        dtype=dtype)
+    logits = _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
     return logits, new_state
 
 
@@ -278,10 +291,14 @@ def gru_cond_state(p, z, dtype=jnp.float32):
     return jnp.swapaxes(h0, 0, 1)  # batch-leading [B, n_layers, H]
 
 
+def gru_cond_step_features(p, state, token, pos, *, dtype=jnp.float32):
+    x = p["tok_emb"][token].astype(dtype)
+    return gru_step(p["gru"], x, state)
+
+
 def gru_cond_step(p, state, token, pos, *, tied=True, dtype=jnp.float32,
                   vocab_out=None):
-    x = p["tok_emb"][token].astype(dtype)
-    y, state = gru_step(p["gru"], x, state)
+    y, state = gru_cond_step_features(p, state, token, pos, dtype=dtype)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out), state
 
 
@@ -339,14 +356,21 @@ def txf_cond_state(p, z, seq_len, dtype=jnp.float32):
     }
 
 
-def txf_cond_step(p, state, token, pos, n_heads, *, dtype=jnp.float32,
-                  vocab_out=None):
+def txf_cond_step_features(p, state, token, pos, n_heads, *,
+                           dtype=jnp.float32):
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)[:, None, :]
     new_caches = []
     for lp, cache in zip(p["txf"], state["caches"]):
         x, cache = _decoder_layer_step(lp, x, state["mem"], cache, pos, n_heads)
         new_caches.append(cache)
-    logits = linear(p["out"], x[:, 0, :])
+    return x[:, 0, :], {"mem": state["mem"], "caches": new_caches}
+
+
+def txf_cond_step(p, state, token, pos, n_heads, *, dtype=jnp.float32,
+                  vocab_out=None):
+    y, state = txf_cond_step_features(p, state, token, pos, n_heads,
+                                      dtype=dtype)
+    logits = linear(p["out"], y)
     if vocab_out is not None and logits.shape[-1] != vocab_out:
         logits = logits[..., :vocab_out]
-    return logits, {"mem": state["mem"], "caches": new_caches}
+    return logits, state

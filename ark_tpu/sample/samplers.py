@@ -95,7 +95,8 @@ def process_logits(logits, temperature=1.0, top_k=0, top_p=0.0):
     return probs
 
 
-def sample_top_p_rejection(rng, logits, top_p, max_attempts=16):
+def sample_top_p_rejection(rng, logits, top_p, max_attempts=16,
+                           first_attempts=4):
     """EXACT nucleus sampling without any sort (the large-vocab fast path).
 
     Sampling from the renormalized nucleus equals rejection sampling: draw
@@ -104,17 +105,52 @@ def sample_top_p_rejection(rng, logits, top_p, max_attempts=16):
     mass STRICTLY above p_i is <= top_p (ties at the boundary are all kept,
     the same value-threshold semantics as filter_top_p). Acceptance
     probability is the nucleus mass, which by construction EXCEEDS top_p
-    (the nucleus is the smallest prefix whose mass crosses top_p), so the
-    loop converges in ~1/top_p draws for any model, trained or not.
-    After max_attempts (P(fail) <= (1-top_p)^max_attempts per row, ~1e-16
-    at top_p=0.9) the last draw is kept.
+    (the nucleus is the smallest prefix whose mass crosses top_p), so a few
+    draws per row suffice for any model, trained or not. After max_attempts
+    (P(fail) <= (1-top_p)^max_attempts per row, ~1e-16 at top_p=0.9) the
+    last draw is kept.
 
-    Replaces an O(V log V) sort per token step with O(V) reductions —
-    lax.top_k on a ~59k vocab costs ~45 ms/step on v5e; this costs ~2 ms.
+    Candidate draws use inverse-CDF on a once-per-step cumsum (a binary
+    search per row) instead of ``jax.random.categorical`` — the latter
+    generates a full [B, V] Gumbel field per ATTEMPT (~30M threefry
+    elements at the wd-articles shape), which dominated the round-1
+    sampler. ``first_attempts`` candidates are drawn and tested together
+    up front so the straggler while_loop (which must run until every row
+    accepts) almost never trips: P(a row rejects all of them) is
+    (1-top_p)^first_attempts = 1e-4 at top_p=0.9.
     """
     logits = logits.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    b = logits.shape[0]
+    b, v = probs.shape
+    cdf = jnp.cumsum(probs, axis=-1)
+    total = cdf[:, -1]
+
+    def draw(key, n):
+        """n iid categorical draws per row: u ~ U[0, total), invert the CDF.
+        searchsorted is O(log V) gathers; RNG cost is n*B uniforms."""
+        u = jax.random.uniform(key, (n, b)) * total[None, :]
+        cand = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"),
+                        in_axes=(0, 1), out_axes=1)(cdf, u)
+        return jnp.minimum(cand, v - 1).astype(jnp.int32)
+
+    def in_nucleus(cand):
+        """cand [n, b] -> bool [n, b]; one O(V) reduction per attempt row."""
+        p_cand = jnp.take_along_axis(probs, cand.T, axis=-1).T  # [n, b]
+        masses = [
+            jnp.sum(jnp.where(probs > p_cand[i][:, None], probs, 0.0),
+                    axis=-1)
+            for i in range(cand.shape[0])
+        ]
+        return jnp.stack(masses) <= top_p
+
+    rng, k0 = jax.random.split(rng)
+    n0 = min(first_attempts, max_attempts)
+    cand0 = draw(k0, n0)                       # [n0, b]
+    ok0 = in_nucleus(cand0)                    # [n0, b]
+    first = jnp.argmax(ok0, axis=0)            # first accepted (0 if none)
+    accepted = jnp.any(ok0, axis=0)
+    # unaccepted rows keep the LAST draw as the provisional fallback token
+    token = jnp.where(accepted, cand0[first, jnp.arange(b)], cand0[-1])
 
     def cond(carry):
         _, _, accepted, it = carry
@@ -123,21 +159,15 @@ def sample_top_p_rejection(rng, logits, top_p, max_attempts=16):
     def body(carry):
         rng, token, accepted, it = carry
         rng, k = jax.random.split(rng)
-        cand = jax.random.categorical(k, logits, axis=-1)
-        p_cand = jnp.take_along_axis(probs, cand[:, None], axis=-1)
-        mass_above = jnp.sum(jnp.where(probs > p_cand, probs, 0.0), axis=-1)
-        ok = mass_above <= top_p
+        cand = draw(k, 1)[0]
+        ok = in_nucleus(cand[None])[0]
         take = (~accepted)
         token = jnp.where(take, cand, token)
         accepted = accepted | (take & ok) | (it == max_attempts - 1)
         return rng, token, accepted, it + 1
 
-    rng, k0 = jax.random.split(rng)
-    token0 = jax.random.categorical(k0, logits, axis=-1)
-    p0 = jnp.take_along_axis(probs, token0[:, None], axis=-1)
-    ok0 = jnp.sum(jnp.where(probs > p0, probs, 0.0), axis=-1) <= top_p
     _, token, _, _ = jax.lax.while_loop(
-        cond, body, (rng, token0, ok0, jnp.int32(1)))
+        cond, body, (rng, token, accepted, jnp.int32(n0)))
     return token
 
 
@@ -151,7 +181,7 @@ def _force(logits, pos_idx, forced):
 
 
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
-                 top_p=0.0, forced=(), mesh=None):
+                 top_p=0.0, forced=(), mesh=None, fused="auto"):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
@@ -162,11 +192,24 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     'data' axis with sharding constraints — the lm decode state is created
     inside the jit, so without the constraint GSPMD is free to replicate
     the whole generation on every chip.
+
+    ``fused``: 'auto' | True | False — the Pallas fused logits+top-p
+    sampling kernel (ops/pallas/sample_step.py; big-vocab nucleus sampling
+    without materializing [B, V] logits). 'auto' engages it on TPU for
+    pure top-p sampling on large vocabularies when the model exposes
+    pre-head decode steps and the shapes meet the kernel constraints.
     """
     st = layout.special_tokens
     bos, eos = st["BOS"], st["EOS"]
     L = layout.seq_len
     forced = tuple(forced)
+
+    if fused == "auto":
+        fused = jax.default_backend() not in ("cpu",)
+    fused_model_ok = bool(
+        fused and sample and top_p and 0.0 < top_p < 1.0 and not top_k
+        and not forced and model.decode_step_features is not None
+        and model.head is not None and layout.vocab_size > 4096)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -182,25 +225,64 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
             return tree
 
     def _scan_sample(params, rng, state, batch):
+        use_fused = False
+        if fused_model_ok:
+            from ark_tpu.ops.pallas.sample_step import (
+                fused_top_p_sample, supported as fused_supported)
+
+            w_head, b_head = model.head(params)
+            nd = 1 if mesh is None else dict(mesh.shape).get("data", 1)
+            use_fused = (batch % nd == 0 and fused_supported(
+                batch // nd, w_head.shape[1], w_head.shape[0]))
+
+            def fused_draw(y, k):
+                seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+                call = functools.partial(
+                    fused_top_p_sample, top_p=float(top_p),
+                    v_true=layout.vocab_size,
+                    temperature=float(temperature) if temperature else 1.0)
+                if mesh is not None and nd > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    def local(y, w, b, seed):
+                        # decorrelate per-shard Gumbel noise
+                        s = seed + jax.lax.axis_index("data") * 65537
+                        return call(y, w, b, s)
+
+                    return jax.shard_map(
+                        local, mesh=mesh,
+                        in_specs=(P("data", None), P(), P(), P()),
+                        out_specs=P("data"), check_vma=False)(
+                            y, w_head, b_head, seed)
+                return call(y, w_head, b_head, seed)
+
         def body(carry, t):
             state, token, finished, rng = carry
             rng, k = jax.random.split(rng)
-            logits, state = model.decode_step(params, state, token, t)
-            state = _pin(state)
-            logits = _force(logits.astype(jnp.float32), t + 1, forced)
-            if sample:
-                scaled = (logits / float(temperature)
-                          if temperature and temperature != 1.0 else logits)
-                if (top_p and 0.0 < top_p < 1.0 and not top_k
-                        and logits.shape[-1] > 4096):
-                    # sort-free exact nucleus sampling (big-vocab fast path)
-                    nxt = sample_top_p_rejection(k, scaled, float(top_p))
-                else:
-                    probs = process_logits(logits, temperature, top_k, top_p)
-                    nxt = jax.random.categorical(
-                        k, jnp.log(jnp.clip(probs, 1e-30, None)))
+            if use_fused:
+                # Pallas fused logits + nucleus sampling: never materializes
+                # the [B, V] logits
+                y, state = model.decode_step_features(params, state, token, t)
+                state = _pin(state)
+                nxt = fused_draw(y.astype(jnp.float32), k)
             else:
-                nxt = jnp.argmax(logits, axis=-1)
+                logits, state = model.decode_step(params, state, token, t)
+                state = _pin(state)
+                logits = _force(logits.astype(jnp.float32), t + 1, forced)
+                if sample:
+                    scaled = (logits / float(temperature)
+                              if temperature and temperature != 1.0 else logits)
+                    if (top_p and 0.0 < top_p < 1.0 and not top_k
+                            and logits.shape[-1] > 4096):
+                        # sort-free exact nucleus sampling (big-vocab path)
+                        nxt = sample_top_p_rejection(k, scaled, float(top_p))
+                    else:
+                        probs = process_logits(logits, temperature, top_k, top_p)
+                        nxt = jax.random.categorical(
+                            k, jnp.log(jnp.clip(probs, 1e-30, None)))
+                else:
+                    nxt = jnp.argmax(logits, axis=-1)
             nxt = _pin(jnp.where(finished, eos, nxt).astype(jnp.int32))
             finished = finished | (nxt == eos)
             return (state, nxt, finished, rng), nxt

@@ -130,6 +130,13 @@ class SamplerBank:
             # the generation batch must divide the data axis
             nd = dict(mesh.shape).get("data", 1)
             self.chunk = ((self.chunk + nd - 1) // nd) * nd
+        # optional reduced-precision decode path (params stay f32; the
+        # per-step logits matmul runs in sample_dtype with f32 accumulation)
+        sd = config.get("sample_dtype")
+        if sd and str(sd) != str(config.get("compute_dtype", "float32")):
+            from ark_tpu.models import build_model
+            self.model = build_model(dict(config, compute_dtype=str(sd)),
+                                     mesh=mesh)
         self._lm_sampler = None
         self._latent_sampler = None
 

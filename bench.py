@@ -92,7 +92,13 @@ def measure_tpu(cfg, bundle, model):
     log(f"[bench] train: {dt:.2f}s for {TRAIN_STEPS} steps x {BATCH} "
         f"-> {train_gps:.0f} graphs/s (loss {loss:.3f})")
 
-    sampler = make_sampler(model, layout, sample=True,
+    # optional reduced-precision decode path (params stay f32)
+    sample_dtype = os.environ.get("ARK_TPU_BENCH_SAMPLE_DTYPE", "")
+    smodel = model
+    if sample_dtype and sample_dtype != DTYPE:
+        from ark_tpu.models import build_model
+        smodel = build_model(dict(cfg, compute_dtype=sample_dtype))
+    sampler = make_sampler(smodel, layout, sample=True,
                            temperature=cfg.get("temperature", 1.0),
                            top_p=cfg.get("top_p", 0.9),
                            top_k=cfg.get("top_k", 0))

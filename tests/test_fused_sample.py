@@ -1,0 +1,106 @@
+"""Fused logits+top-p sampling kernel (ops/pallas/sample_step.py).
+
+CPU-testable properties (interpret mode): the in-kernel PRNG returns
+all-zero bits under the TPU interpreter, so every Gumbel field is constant
+and candidate #0 is exactly argmax(logits) — whose strictly-above mass is 0,
+always accepted. The kernel therefore degenerates to EXACT greedy decoding
+here, which pins down everything except the noise: the streamed logits
+(matmul + bias + temperature + v_true masking), the flash log-sum-exp, the
+block-argmax bookkeeping, the acceptance masses, and the row-chunking path.
+The distribution itself (real Gumbel noise) is validated statistically on
+TPU hardware — see docs/BENCH_NOTES.md round-2 sampling section.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ark_tpu.ops.pallas.sample_step import fused_top_p_sample, supported
+
+B, D, V, VB = 16, 128, 512, 128
+
+
+def _data(seed=0, b=B):
+    rng = np.random.default_rng(seed)
+    y = jnp.asarray(rng.normal(size=(b, D)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    return y, w, bias
+
+
+def test_supported_predicate():
+    assert supported(512, 512, 58880)
+    assert not supported(13, 512, 58880)      # rows not multiple of 8
+    assert not supported(512, 100, 58880)     # d not multiple of 128
+    assert not supported(512, 512, 58811)     # v not multiple of vblock
+
+
+def test_interpret_degenerates_to_exact_greedy():
+    y, w, bias = _data()
+    v_true = 500
+    logits = y @ w.T + bias
+    logits = jnp.where(jnp.arange(V) < v_true, logits, -1e30)
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(7), 0.9,
+                                            v_true=v_true, vblock=VB))
+    np.testing.assert_array_equal(got, want)
+    assert (got < v_true).all()
+
+
+def test_temperature_preserves_argmax():
+    # temperature rescales logits; the (interpret-mode) greedy token is
+    # invariant, proving the scale is applied inside the kernel cleanly
+    y, w, bias = _data(1)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(3), 0.9,
+                                          temperature=0.25, vblock=VB))
+        c = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(3), 0.9,
+                                          temperature=2.0, vblock=VB))
+    np.testing.assert_array_equal(a, c)
+
+
+def test_row_chunking_matches_single_call():
+    import ark_tpu.ops.pallas.sample_step as ss
+
+    y, w, bias = _data(2, b=48)
+    logits = y @ w.T + bias
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    orig = ss.ROWCHUNK
+    try:
+        ss.ROWCHUNK = 16  # force 3 chunks
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(5),
+                                                0.9, vblock=VB))
+    finally:
+        ss.ROWCHUNK = orig
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mt", ["ARK", "t-ARK"])
+def test_sampler_fused_path_runs_end_to_end(mt):
+    """make_sampler(fused=True) in interpret mode == the greedy sampler
+    (PRNG-zero degeneracy), wiring decode_step_features + head + kernel
+    through the whole generation scan."""
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.sample import make_sampler
+
+    layout = build_vocab_layout(5000, 4, 2, 2, use_padding=False)
+    cfg = dict(model_type=mt, d_model=128, d_latent=8, n_heads=2, n_layers=2,
+               seq_len=layout.seq_len, vocab_size=layout.vocab_size,
+               n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=8, vocab_pad_multiple=128, tie_weights=True,
+               use_pallas_gru=False)
+    m = build_model(cfg)
+    params = m.init(jax.random.key(0))
+    fused_sampler = make_sampler(m, layout, sample=True, top_p=0.9,
+                                 fused=True)
+    greedy = make_sampler(m, layout, sample=False, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_sampler(params, jax.random.key(1), 8))
+    want = np.asarray(greedy(params, jax.random.key(1), 8))
+    np.testing.assert_array_equal(got, want)

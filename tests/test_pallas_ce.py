@@ -61,6 +61,48 @@ def test_gradients_match_xla():
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_sail_fused_ce_train_step_matches_xla():
+    """The VAE family engages the fused-CE kernel (VERDICT r1 'do this' #6):
+    a SAIL train step with use_fused_ce matches the XLA-logits step exactly
+    (same rng handling -> same z draws -> same trajectory)."""
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.train import create_train_state, make_train_step
+    from ark_tpu.train.steps import _use_fused_ce, build_seq_from_triples
+
+    layout = build_vocab_layout(300, 4, 3, 3, use_padding=False)
+    cfg = dict(model_type="SAIL", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, pad_eid=None, pad_rid=None,
+               dec_dropout=0.0, batch_size=8, vocab_pad_multiple=512,
+               use_pallas_gru=False, use_fused_ce=True, tie_weights=True)
+    rng = np.random.default_rng(4)
+    triples = np.stack([rng.integers(0, 300, (8, 3)),
+                        rng.integers(0, 4, (8, 3)),
+                        rng.integers(0, 300, (8, 3))], axis=-1).astype(np.int32)
+    seq = np.asarray(build_seq_from_triples(
+        jnp.asarray(triples), layout.ent_base, layout.rel_base, 1, 2))
+
+    m_f = build_model(cfg)
+    assert m_f.features is not None and _use_fused_ce(m_f, cfg)
+    state_f = create_train_state(m_f, jax.random.key(0))
+    step_f = make_train_step(m_f, pad_id=0, config=cfg)
+    with pltpu.force_tpu_interpret_mode():
+        _, mf = step_f(state_f, jnp.asarray(triples), jnp.asarray(seq),
+                       jax.random.key(5), 1e-2, 0.7)
+
+    cfg_x = dict(cfg, use_fused_ce=False)
+    m_x = build_model(cfg_x)
+    state_x = create_train_state(m_x, jax.random.key(0))
+    step_x = make_train_step(m_x, pad_id=0, config=cfg_x)
+    _, mx = step_x(state_x, jnp.asarray(triples), jnp.asarray(seq),
+                   jax.random.key(5), 1e-2, 0.7)
+    for k in ("loss", "reconstruction_loss", "kl_loss"):
+        np.testing.assert_allclose(float(mf[k]), float(mx[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_chunked_masked_ce_matches_direct(monkeypatch):
     """Row-chunked fused CE (large batches) equals the single-call path,
     including gradients through the summed chunk VJPs."""
