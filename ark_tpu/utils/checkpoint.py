@@ -76,5 +76,15 @@ class _SafeUnpickler(pickle.Unpickler):
 
 
 def load_checkpoint(path: str) -> dict:
+    """Load an ark_tpu checkpoint — or, transparently, a legacy torch ``.pt``
+    payload from the reference trainer (conditioned.py:16-25 /
+    interpolation.py:140-141 semantics incl. ``module.``-prefix stripping;
+    see utils/torch_interop.py). All checkpoint-consuming CLIs therefore
+    accept reference checkpoints unchanged."""
+    from ark_tpu.utils.torch_interop import (is_torch_checkpoint,
+                                             load_torch_checkpoint)
+
+    if is_torch_checkpoint(path):
+        return load_torch_checkpoint(path)
     with open(path, "rb") as f:
         return _SafeUnpickler(f).load()

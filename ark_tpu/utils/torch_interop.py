@@ -1,0 +1,243 @@
+"""Legacy torch-checkpoint interop: load reference ``.pt`` payloads.
+
+The reference's conditioned.py:16-25 and interpolation.py:140-141 load
+``torch.save``d checkpoints whose ``model_state_dict`` keys may carry a
+historical ``module.`` prefix (single-process ``nn.DataParallel`` training,
+SURVEY §2 row P-1). This module maps such a torch state_dict onto the
+ark_tpu parameter pytrees so conditioned / interpolation / evaluate work on
+reference checkpoints unchanged:
+
+    ckpt = load_torch_checkpoint("wd-movies_SAIL_best_model.pt")
+    model = build_model(ckpt["config"]); params = ckpt["model_state_dict"]
+
+Key-name sources (behavioral contract, studied not copied):
+  - ARK wraps ``self.dec = DecoderOnlyGRU|DecoderOnlyTransformer``
+    (reference models.py:374-385): keys ``dec.tok_emb.weight``,
+    ``dec.gru.weight_ih_l{k}`` / ``dec.txf.layers.{i}.*``, ``dec.out.*``.
+  - SAIL wraps ``self.enc = AutoRegEncoderMLP|AutoRegEncoder`` and
+    ``self.dec = AutoRegDecoderGRU|AutoRegDecoder``
+    (models.py:150-196): ``enc.e_emb/r_emb/mlp.{j}/txf.layers.{i}/mu/logv``
+    and ``dec.tok_emb/z_proj/gru/txf.layers.{i}/pos_emb/out``.
+  - torch Linear stores ``weight`` as [out, in]; ark_tpu uses [in, out] —
+    every linear/GRU/attention weight transposes on the way in (the same
+    convention as tests/test_torch_parity.py).
+
+Optimizer / scheduler state is torch-specific and dropped (loading a torch
+checkpoint supports generation and evaluation, not training resume — the
+reference itself never resumes, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["is_torch_checkpoint", "load_torch_checkpoint",
+           "torch_state_dict_to_params"]
+
+# torch zipfile serialization starts with a local-file header; the legacy
+# (_use_new_zipfile_serialization=False, reference train.py:589) stream is a
+# pickle whose first opcodes encode torch's magic number.
+_ZIP_MAGIC = b"PK\x03\x04"
+_PICKLE_PROTO = b"\x80"
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """Cheap sniff: zip container, or a pickle that mentions torch."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    if head.startswith(_ZIP_MAGIC):
+        return True
+    return head.startswith(_PICKLE_PROTO) and b"torch" in head
+
+
+def _t2n(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _strip_module(sd: dict) -> dict:
+    return {(k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in sd.items()}
+
+
+def _linear(sd, prefix):
+    return {"w": _t2n(sd[f"{prefix}.weight"]).T,
+            "b": _t2n(sd[f"{prefix}.bias"])}
+
+
+def _layer_norm(sd, prefix):
+    return {"g": _t2n(sd[f"{prefix}.weight"]), "b": _t2n(sd[f"{prefix}.bias"])}
+
+
+def _mha(sd, prefix):
+    return {
+        "in_proj_w": _t2n(sd[f"{prefix}.in_proj_weight"]).T,
+        "in_proj_b": _t2n(sd[f"{prefix}.in_proj_bias"]),
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _encoder_layer(sd, prefix):
+    return {
+        "self_attn": _mha(sd, f"{prefix}.self_attn"),
+        "linear1": _linear(sd, f"{prefix}.linear1"),
+        "linear2": _linear(sd, f"{prefix}.linear2"),
+        "norm1": _layer_norm(sd, f"{prefix}.norm1"),
+        "norm2": _layer_norm(sd, f"{prefix}.norm2"),
+    }
+
+
+def _decoder_layer(sd, prefix):
+    p = _encoder_layer(sd, prefix)
+    p["cross_attn"] = _mha(sd, f"{prefix}.multihead_attn")
+    p["norm3"] = _layer_norm(sd, f"{prefix}.norm3")
+    return p
+
+
+def _txf_stack(sd, prefix):
+    idx = sorted({int(k[len(prefix) + 1:].split(".")[0])
+                  for k in sd if k.startswith(prefix + ".")})
+    kind = (_decoder_layer
+            if any(k.startswith(f"{prefix}.{idx[0]}.multihead_attn")
+                   for k in sd) else _encoder_layer)
+    return [kind(sd, f"{prefix}.{i}") for i in idx]
+
+
+def _gru(sd, prefix):
+    layers = []
+    for k in range(64):
+        if f"{prefix}.weight_ih_l{k}" not in sd:
+            break
+        layers.append({
+            "w_ih": _t2n(sd[f"{prefix}.weight_ih_l{k}"]).T,
+            "w_hh": _t2n(sd[f"{prefix}.weight_hh_l{k}"]).T,
+            "b_ih": _t2n(sd[f"{prefix}.bias_ih_l{k}"]),
+            "b_hh": _t2n(sd[f"{prefix}.bias_hh_l{k}"]),
+        })
+    return {"layers": layers}
+
+
+def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
+    if x.shape[0] >= rows:
+        return x
+    return np.concatenate(
+        [x, np.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _head(sd, prefix, tok_emb_key, config):
+    """Tied heads keep only the bias (ark_tpu computes logits = y @ E.T + b);
+    the reference ties whenever shapes match (quirk Q-9) — out.weight and
+    tok_emb.weight are both [V, D], so ``tie_weights`` alone decides."""
+    tied = bool(config.get("tie_weights", True))
+    b = _t2n(sd[f"{prefix}.bias"])
+    mult = int(config.get("vocab_pad_multiple", 1))
+    v_pad = -(-b.shape[0] // mult) * mult
+    if tied and tok_emb_key is not None:
+        return {"b": _pad_rows(b, v_pad)}
+    w = _t2n(sd[f"{prefix}.weight"]).T  # [D, V]
+    w = np.concatenate(
+        [w, np.zeros((w.shape[0], v_pad - w.shape[1]), w.dtype)], axis=1) \
+        if v_pad > w.shape[1] else w
+    return {"w": w, "b": _pad_rows(b, v_pad)}
+
+
+def _emb(sd, key, config, pad_vocab=False):
+    e = _t2n(sd[key])
+    if pad_vocab:
+        mult = int(config.get("vocab_pad_multiple", 1))
+        e = _pad_rows(e, -(-e.shape[0] // mult) * mult)
+    return e
+
+
+def _mlp_encoder(sd, config):
+    j_idx = sorted({int(k.split(".")[2]) for k in sd
+                    if k.startswith("enc.mlp.") and k.endswith(".weight")})
+    return {
+        "e_emb": _emb(sd, "enc.e_emb.weight", config),
+        "r_emb": _emb(sd, "enc.r_emb.weight", config),
+        "mlp": [_linear(sd, f"enc.mlp.{j}") for j in j_idx],
+        "mu": _linear(sd, "enc.mu"),
+        "logv": _linear(sd, "enc.logv"),
+    }
+
+
+def _txf_encoder(sd, config):
+    return {
+        "e_emb": _emb(sd, "enc.e_emb.weight", config),
+        "r_emb": _emb(sd, "enc.r_emb.weight", config),
+        "txf": _txf_stack(sd, "enc.txf.layers"),
+        "mu": _linear(sd, "enc.mu"),
+        "logv": _linear(sd, "enc.logv"),
+    }
+
+
+def torch_state_dict_to_params(state_dict: dict, config: dict) -> dict:
+    """Map a (possibly ``module.``-prefixed) reference state_dict onto the
+    pytree layout of ``build_model(config).init`` — numpy leaves, f32. When
+    ``config['vocab_pad_multiple']`` > 1 the vocab-indexed tensors are
+    zero-padded to the aligned size (padded rows are never indexed and
+    padded logits are sliced off by ``vocab_out``)."""
+    sd = _strip_module(state_dict)
+    mt = config["model_type"]
+    if mt == "ARK":
+        return {
+            "tok_emb": _emb(sd, "dec.tok_emb.weight", config, pad_vocab=True),
+            "pos_emb": _emb(sd, "dec.pos_emb.weight", config),
+            "gru": _gru(sd, "dec.gru"),
+            "out": _head(sd, "dec.out", "dec.tok_emb.weight", config),
+        }
+    if mt == "t-ARK":
+        return {
+            "tok_emb": _emb(sd, "dec.tok_emb.weight", config, pad_vocab=True),
+            "pos_emb": _emb(sd, "dec.pos_emb.weight", config),
+            "txf": _txf_stack(sd, "dec.txf.layers"),
+            "out": _head(sd, "dec.out", "dec.tok_emb.weight", config),
+        }
+    if mt == "SAIL":
+        return {
+            "enc": _mlp_encoder(sd, config),
+            "dec": {
+                "tok_emb": _emb(sd, "dec.tok_emb.weight", config,
+                                pad_vocab=True),
+                "z_proj": _linear(sd, "dec.z_proj"),
+                "gru": _gru(sd, "dec.gru"),
+                "out": _head(sd, "dec.out", "dec.tok_emb.weight", config),
+            },
+        }
+    if mt == "t-SAIL":
+        return {
+            "enc": _txf_encoder(sd, config),
+            "dec": {
+                "tok_emb": _emb(sd, "dec.tok_emb.weight", config,
+                                pad_vocab=True),
+                "pos_emb": _emb(sd, "dec.pos_emb.weight", config),
+                "z_proj": _linear(sd, "dec.z_proj"),
+                "txf": _txf_stack(sd, "dec.txf.layers"),
+                # AutoRegDecoder never ties (reference models.py:98-114)
+                "out": _head(sd, "dec.out", None,
+                             dict(config, tie_weights=False)),
+            },
+        }
+    raise ValueError(f"unknown model_type for torch interop: {mt!r}")
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """torch.load the payload (reference schema, train.py:576-585) and
+    convert ``model_state_dict`` to an ark_tpu pytree. Torch-only optimizer/
+    scheduler state is replaced by None (no training resume from torch)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    config = dict(payload["config"])
+    out = {
+        "epoch": payload.get("epoch"),
+        "model_state_dict": torch_state_dict_to_params(
+            payload["model_state_dict"], config),
+        "optimizer_state_dict": None,
+        "scheduler_state_dict": None,
+        "val_loss": payload.get("val_loss"),
+        "config": config,
+        "vocabs": payload.get("vocabs"),
+        "dataset_meta": payload.get("dataset_meta"),
+        "format": "torch.interop",
+    }
+    return out

@@ -1,0 +1,327 @@
+"""Legacy torch-checkpoint interop (reference conditioned.py:16-25,
+interpolation.py:140-141): a ``torch.save``d payload in the reference schema
+— ``module.``-prefixed state_dict included — loads through the ordinary
+``load_checkpoint`` and reproduces the torch model's forward logits."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ark_tpu.models import build_model
+from ark_tpu.utils.checkpoint import load_checkpoint, to_device_tree
+
+V, D, L, NL, NH, DLAT = 23, 16, 11, 2, 2, 6
+BASE = dict(d_model=D, d_latent=DLAT, n_heads=NH, n_layers=NL, seq_len=L,
+            vocab_size=V, n_entities=10, n_relations=4, pad_eid=9, pad_rid=3,
+            dec_dropout=0.0, tie_weights=True)
+
+
+class TorchGRULM(torch.nn.Module):
+    """Twin of reference DecoderOnlyGRU (models.py:323-345)."""
+
+    def __init__(self):
+        super().__init__()
+        self.tok_emb = torch.nn.Embedding(V, D)
+        self.pos_emb = torch.nn.Embedding(L, D)
+        self.gru = torch.nn.GRU(D, D, num_layers=NL, batch_first=True)
+        self.out = torch.nn.Linear(D, V)
+        self.out.weight = self.tok_emb.weight
+
+    def forward(self, s):
+        x = self.tok_emb(s) + self.pos_emb(torch.arange(s.shape[1]))[None]
+        y, _ = self.gru(x)
+        return self.out(y)
+
+
+class TorchTxfLM(torch.nn.Module):
+    """Twin of reference DecoderOnlyTransformer (models.py:349-366)."""
+
+    def __init__(self):
+        super().__init__()
+        self.tok_emb = torch.nn.Embedding(V, D)
+        self.pos_emb = torch.nn.Embedding(L, D)
+        layer = torch.nn.TransformerEncoderLayer(D, NH, batch_first=True)
+        self.txf = torch.nn.TransformerEncoder(layer, NL)
+        self.out = torch.nn.Linear(D, V)
+        self.out.weight = self.tok_emb.weight
+
+    def forward(self, s):
+        Ls = s.shape[1]
+        x = self.tok_emb(s) + self.pos_emb(torch.arange(Ls))[None]
+        mask = torch.triu(torch.ones(Ls, Ls, dtype=torch.bool), 1)
+        return self.out(self.txf(x, mask=mask))
+
+
+class TorchMLPEnc(torch.nn.Module):
+    """Twin of reference AutoRegEncoderMLP (models.py:13-64)."""
+
+    def __init__(self):
+        super().__init__()
+        self.e_emb = torch.nn.Embedding(BASE["n_entities"], D)
+        self.r_emb = torch.nn.Embedding(BASE["n_relations"], D)
+        hidden = max(D * 3, D * 2)
+        mlp, d_in = [], D * 3
+        for _ in range(NL):
+            mlp += [torch.nn.Linear(d_in, hidden), torch.nn.GELU()]
+            d_in = hidden
+        self.mlp = torch.nn.Sequential(*mlp)
+        self.mu = torch.nn.Linear(hidden, DLAT)
+        self.logv = torch.nn.Linear(hidden, DLAT)
+
+    def stats(self, triples):
+        h = self.e_emb(triples[:, :, 0])
+        r = self.r_emb(triples[:, :, 1])
+        t = self.e_emb(triples[:, :, 2])
+        x = torch.cat([h, r, t], -1)
+        mask = (triples[:, :, 1] != BASE["pad_rid"]).float()
+        g = (x * mask.unsqueeze(-1)).sum(1) / mask.sum(1, keepdim=True).clamp(min=1)
+        g = self.mlp(g)
+        return self.mu(g), self.logv(g).clamp(-10, 10)
+
+
+class TorchGRUCond(torch.nn.Module):
+    """Twin of reference AutoRegDecoderGRU (models.py:116-142)."""
+
+    def __init__(self):
+        super().__init__()
+        self.tok_emb = torch.nn.Embedding(V, D)
+        self.z_proj = torch.nn.Linear(DLAT, D)
+        self.gru = torch.nn.GRU(D, D, num_layers=NL, batch_first=True)
+        self.out = torch.nn.Linear(D, V)
+        self.out.weight = self.tok_emb.weight
+
+    def forward(self, z, tgt):
+        x = self.tok_emb(tgt)
+        h0 = torch.tanh(self.z_proj(z)).unsqueeze(0).repeat(NL, 1, 1)
+        y, _ = self.gru(x, h0)
+        return self.out(y)
+
+
+class TorchSAIL(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.enc = TorchMLPEnc()
+        self.dec = TorchGRUCond()
+
+
+class _ARKWrap(torch.nn.Module):
+    """Reference ARK wraps its LM as ``self.dec`` (models.py:374-385), so
+    state_dict keys carry a ``dec.`` prefix."""
+
+    def __init__(self, dec):
+        super().__init__()
+        self.dec = dec
+
+    def forward(self, s):
+        return self.dec(s)
+
+
+class TorchTxfCond(torch.nn.Module):
+    """Twin of reference AutoRegDecoder (models.py:98-114)."""
+
+    def __init__(self):
+        super().__init__()
+        self.tok_emb = torch.nn.Embedding(V, D)
+        self.pos_emb = torch.nn.Embedding(L, D)
+        self.z_proj = torch.nn.Linear(DLAT, D)
+        layer = torch.nn.TransformerDecoderLayer(D, NH, batch_first=True)
+        self.txf = torch.nn.TransformerDecoder(layer, NL)
+        self.out = torch.nn.Linear(D, V)
+
+    def forward(self, z, tgt):
+        B, Ls = tgt.shape
+        x = self.tok_emb(tgt) + self.pos_emb(torch.arange(Ls))[None]
+        mem = self.z_proj(z).unsqueeze(1).repeat(1, Ls, 1)
+        mask = torch.triu(torch.ones(Ls, Ls, dtype=torch.bool), 1)
+        return self.out(self.txf(x, mem, tgt_mask=mask))
+
+
+class TorchTxfEnc(torch.nn.Module):
+    """Twin of reference AutoRegEncoder (models.py:66-95)."""
+
+    def __init__(self):
+        super().__init__()
+        self.e_emb = torch.nn.Embedding(BASE["n_entities"], D)
+        self.r_emb = torch.nn.Embedding(BASE["n_relations"], D)
+        layer = torch.nn.TransformerEncoderLayer(D * 3, NH, batch_first=True)
+        self.txf = torch.nn.TransformerEncoder(layer, NL)
+        self.mu = torch.nn.Linear(D * 3, DLAT)
+        self.logv = torch.nn.Linear(D * 3, DLAT)
+
+    def stats(self, triples):
+        h = self.e_emb(triples[:, :, 0])
+        r = self.r_emb(triples[:, :, 1])
+        t = self.e_emb(triples[:, :, 2])
+        x = torch.cat([h, r, t], -1)
+        mask = triples[:, :, 1] != BASE["pad_rid"]
+        x = self.txf(x, src_key_padding_mask=~mask)
+        denom = mask.sum(1, keepdim=True).clamp(min=1).unsqueeze(-1)
+        x = (x * mask.unsqueeze(-1).float()).sum(1) / denom.squeeze(-1)
+        return self.mu(x), self.logv(x)
+
+
+class TorchTSAIL(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.enc = TorchTxfEnc()
+        self.dec = TorchTxfCond()
+
+
+def _save_reference_payload(path, tm, config, prefix=True):
+    sd = tm.state_dict()
+    if prefix:  # historical nn.DataParallel checkpoints (SURVEY P-1)
+        sd = {f"module.{k}": v for k, v in sd.items()}
+    torch.save({
+        "epoch": 7,
+        "model_state_dict": sd,
+        "optimizer_state_dict": {},
+        "scheduler_state_dict": None,
+        "val_loss": 1.5,
+        "config": config,
+        "vocabs": {"e2i": {"a": 0}, "i2e": {0: "a"},
+                   "r2i": {"r": 0}, "i2r": {0: "r"}},
+        "dataset_meta": {"dataset": "syn-paths", "n_entities": 10,
+                         "n_relations": 4},
+    }, str(path), _use_new_zipfile_serialization=False)
+
+
+def _rand_seq(key):
+    return jax.random.randint(key, (3, L), 0, V)
+
+
+@pytest.mark.parametrize("pad_mult", [1, 8])
+def test_ark_gru_torch_checkpoint_roundtrip(tmp_path, pad_mult):
+    torch.manual_seed(0)
+    tm = _ARKWrap(TorchGRULM()).eval()
+    cfg = dict(BASE, model_type="ARK", vocab_pad_multiple=pad_mult)
+    path = tmp_path / "syn-paths_ARK_best_model.pt"
+    _save_reference_payload(path, tm, cfg)
+
+    ckpt = load_checkpoint(str(path))
+    assert ckpt["format"] == "torch.interop"
+    assert ckpt["epoch"] == 7 and ckpt["vocabs"]["e2i"] == {"a": 0}
+    model = build_model(ckpt["config"])
+    params = to_device_tree(ckpt["model_state_dict"])
+    seq = _rand_seq(jax.random.key(1))
+    got = model.apply(params, seq, deterministic=True)
+    with torch.no_grad():
+        want = tm(torch.tensor(np.asarray(seq), dtype=torch.long)).numpy()
+    assert got.shape[-1] == V  # padding sliced off
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_t_ark_torch_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(1)
+    tm = _ARKWrap(TorchTxfLM()).eval()
+    cfg = dict(BASE, model_type="t-ARK")
+    path = tmp_path / "syn-paths_t-ARK_best_model.pt"
+    _save_reference_payload(path, tm, cfg, prefix=False)
+
+    ckpt = load_checkpoint(str(path))
+    model = build_model(ckpt["config"])
+    params = to_device_tree(ckpt["model_state_dict"])
+    seq = _rand_seq(jax.random.key(2))
+    got = model.apply(params, seq, deterministic=True)
+    with torch.no_grad():
+        want = tm(torch.tensor(np.asarray(seq), dtype=torch.long)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_sail_torch_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(2)
+    tm = TorchSAIL().eval()
+    cfg = dict(BASE, model_type="SAIL")
+    path = tmp_path / "syn-paths_SAIL_best_model.pt"
+    _save_reference_payload(path, tm, cfg)
+
+    ckpt = load_checkpoint(str(path))
+    model = build_model(ckpt["config"])
+    params = to_device_tree(ckpt["model_state_dict"])
+
+    triples = jax.random.randint(jax.random.key(3), (3, 4, 3), 0, 4)
+    _, mu, logv = model.encode(params, triples, jax.random.key(4))
+    with torch.no_grad():
+        tmu, tlogv = tm.enc.stats(torch.tensor(np.asarray(triples),
+                                               dtype=torch.long))
+    np.testing.assert_allclose(np.asarray(mu), tmu.numpy(), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logv), tlogv.numpy(), rtol=1e-4,
+                               atol=1e-4)
+
+    from ark_tpu.models.decoders import gru_cond_apply
+    seq = _rand_seq(jax.random.key(5))
+    z = jnp.asarray(tmu.numpy())
+    got = gru_cond_apply(params["dec"], z, seq, deterministic=True)
+    with torch.no_grad():
+        want = tm.dec(tmu, torch.tensor(np.asarray(seq),
+                                        dtype=torch.long)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_t_sail_torch_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(3)
+    tm = TorchTSAIL().eval()
+    cfg = dict(BASE, model_type="t-SAIL")
+    path = tmp_path / "syn-paths_t-SAIL_best_model.pt"
+    _save_reference_payload(path, tm, cfg)
+
+    ckpt = load_checkpoint(str(path))
+    model = build_model(ckpt["config"])
+    params = to_device_tree(ckpt["model_state_dict"])
+
+    triples = jax.random.randint(jax.random.key(6), (3, 4, 3), 0, 4)
+    _, mu, _ = model.encode(params, triples, jax.random.key(7))
+    with torch.no_grad():
+        tmu, _ = tm.enc.stats(torch.tensor(np.asarray(triples),
+                                           dtype=torch.long))
+    np.testing.assert_allclose(np.asarray(mu), tmu.numpy(), rtol=1e-4,
+                               atol=2e-4)
+
+    from ark_tpu.models.decoders import txf_cond_apply
+    seq = _rand_seq(jax.random.key(8))
+    z = jnp.asarray(tmu.numpy())
+    got = txf_cond_apply(params["dec"], z, seq, NH, deterministic=True)
+    with torch.no_grad():
+        want = tm.dec(tmu, torch.tensor(np.asarray(seq),
+                                        dtype=torch.long)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-4)
+
+
+def test_new_zipfile_format_also_loads(tmp_path):
+    """torch's default zip container (newer checkpoints) is detected too."""
+    torch.manual_seed(4)
+    tm = _ARKWrap(TorchGRULM()).eval()
+    cfg = dict(BASE, model_type="ARK")
+    path = tmp_path / "zipfmt.pt"
+    sd = tm.state_dict()
+    torch.save({"epoch": 1, "model_state_dict": sd, "val_loss": 9.9,
+                "config": cfg, "vocabs": {}, "dataset_meta": {}}, str(path))
+    ckpt = load_checkpoint(str(path))
+    assert ckpt["format"] == "torch.interop"
+    model = build_model(ckpt["config"])
+    params = to_device_tree(ckpt["model_state_dict"])
+    seq = _rand_seq(jax.random.key(9))
+    got = model.apply(params, seq, deterministic=True)
+    with torch.no_grad():
+        want = tm(torch.tensor(np.asarray(seq), dtype=torch.long)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_ark_tpu_checkpoints_not_misrouted(tmp_path):
+    """Native pickles keep loading through the restricted unpickler."""
+    from ark_tpu.utils.checkpoint import save_checkpoint
+    from ark_tpu.utils.torch_interop import is_torch_checkpoint
+
+    cfg = dict(BASE, model_type="ARK")
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    path = tmp_path / "native.pt"
+    save_checkpoint(str(path), epoch=1, params=params, opt_state={},
+                    scheduler_state=None, val_loss=1.0, config=cfg,
+                    vocabs={}, dataset_meta={})
+    assert not is_torch_checkpoint(str(path))
+    ckpt = load_checkpoint(str(path))
+    assert ckpt["format"] == "ark_tpu.pickle.v1"
