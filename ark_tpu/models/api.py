@@ -101,8 +101,12 @@ def build_model(config: dict, mesh=None) -> Model:
     tied = bool(config.get("tie_weights", True))
     _pg = config.get("use_pallas_gru", "auto")
     if _pg == "auto":
-        # on TPU the fused GRU kernel bit-matches the scan path and is faster
-        use_pallas_gru = jax.default_backend() not in ("cpu",)
+        # on TPU: fused multi-layer stack kernel where shapes allow, else the
+        # per-layer kernel (bit-matches the scan path), else lax.scan
+        use_pallas_gru = "auto" if jax.default_backend() not in ("cpu",) \
+            else False
+    elif _pg in ("stack", "perlayer"):
+        use_pallas_gru = _pg
     else:
         use_pallas_gru = bool(_pg)
 

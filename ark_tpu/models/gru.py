@@ -56,20 +56,39 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
               deterministic=True, use_pallas=False, mesh=None):
     """x [B, L, D] -> (y [B, L, H], hT [num_layers, B, H]).
 
-    h0: [num_layers, B, H] or None (zeros). With ``use_pallas`` (and
-    supported shapes) the time recurrence runs in the fused Pallas kernel
-    (ark_tpu/ops/pallas/gru_scan.py); the lax.scan path otherwise. With
-    ``mesh`` the kernel runs per batch shard under shard_map (the batch
-    axis sharded over 'data'); shape support is then checked against the
-    per-device shard."""
+    h0: [num_layers, B, H] or None (zeros). ``use_pallas`` selects the time-
+    recurrence implementation:
+
+      - ``True`` / ``"auto"``: the fused multi-layer kernel
+        (ops/pallas/gru_stack.py — one grid step per time step, all layers,
+        bf16-resident weights) where shapes/VMEM allow, else the per-layer
+        f32 kernel (ops/pallas/gru_scan.py), else lax.scan;
+      - ``"stack"`` / ``"perlayer"``: force one kernel family (A/B, parity);
+      - ``False``: lax.scan (the all-f32 semantic reference).
+
+    With ``mesh`` the kernels run per batch shard under shard_map (batch
+    sharded over 'data'); shape support is checked against the shard."""
     layers = params["layers"]
     b, l, _ = x.shape
     hidden = layers[0]["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((len(layers), b, hidden), x.dtype)
     n_data = 1 if mesh is None else dict(mesh.shape).get("data", 1)
+    mode = "auto" if use_pallas is True else use_pallas
+    # measured crossover (docs/BENCH_NOTES.md): the stack kernel wins where
+    # grid-step overhead dominates (small per-shard batch); at batch >= 64
+    # the per-layer kernel's hoisted XLA input projections win back more
+    # than the extra grid steps cost
+    small_batch = (b // n_data) <= 32
+    if (mode == "stack" or (mode == "auto" and small_batch)) \
+            and b % n_data == 0 and x.dtype == jnp.float32 \
+            and len(layers) >= 2:
+        from ark_tpu.ops.pallas.gru_stack import supported_stack
+        if supported_stack(b // n_data, hidden, len(layers)):
+            return _gru_apply_stack(layers, x, h0, dropout_rate, rng,
+                                    deterministic, mesh, hidden)
     pallas_ok = False
-    if use_pallas and b % n_data == 0:
+    if mode in ("auto", "perlayer") and b % n_data == 0:
         from ark_tpu.ops.pallas.gru_scan import supported
         pallas_ok = supported(b // n_data, hidden) and x.dtype == jnp.float32
     h_finals = []
@@ -99,6 +118,37 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
             rng, sub = jax.random.split(rng)
             out = dropout(out, dropout_rate, sub, deterministic)
     return out, jnp.stack(h_finals)
+
+
+def _gru_apply_stack(layers, x, h0, dropout_rate, rng, deterministic, mesh,
+                     hidden):
+    """Fused multi-layer kernel path. Inter-layer dropout masks are drawn
+    with the same per-layer rng-split sequence as the lax.scan path below,
+    precomputed once and streamed into the kernel (exact torch nn.GRU
+    dropout semantics, reference models.py:121-127)."""
+    from ark_tpu.ops.pallas.gru_stack import gru_stack_sharded
+
+    b, l, _ = x.shape
+    nl = len(layers)
+    lp0 = layers[0]
+    gx0 = jnp.dot(x.astype(jnp.float32), lp0["w_ih"],
+                  preferred_element_type=jnp.float32) + lp0["b_ih"]
+    wih = jnp.stack([lp["w_ih"] for lp in layers[1:]])
+    whh = jnp.stack([lp["w_hh"] for lp in layers])
+    bih = jnp.stack([lp["b_ih"] for lp in layers[1:]])
+    bhh = jnp.stack([lp["b_hh"] for lp in layers])
+    masks = None
+    if not deterministic and dropout_rate > 0.0:
+        keep = 1.0 - dropout_rate
+        ms = []
+        for _ in range(nl - 1):
+            rng, sub = jax.random.split(rng)
+            m = jax.random.bernoulli(sub, keep, (b, l, hidden))
+            ms.append(jnp.where(m, 1.0 / keep, 0.0).astype(jnp.float32))
+        masks = jnp.stack(ms)
+    out, hT = gru_stack_sharded(gx0, wih, whh, bih, bhh,
+                                h0.astype(jnp.float32), masks, mesh)
+    return out, hT
 
 
 def gru_step(params, x_t, h):

@@ -109,3 +109,39 @@ def kl_mean_weighted(mu, logv, row_weights=None):
     w = row_weights.astype(jnp.float32)
     per_row = jnp.mean(elt, axis=1)
     return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def compute_ce_row_cap(seq, pad_id, batch_size, shuffle=False,
+                       row_weights=None, align=128):
+    """Static upper bound on live (non-PAD) teacher-forcing rows per batch.
+
+    Host-side (numpy) helper for the fused-CE row-skipping path
+    (ops/pallas/logit_ce.py ``row_cap``): the kernel's cost is linear in
+    rows x vocab, and on the wd datasets ~40% of rows are PAD. Returns 0
+    (= no cap) when capping cannot help (uniform-length data) or cannot be
+    bounded usefully (shuffled batches whose worst case is ~the full batch).
+
+    seq [N, L]: token sequences (targets are seq[:, 1:]); batches are
+    consecutive ``batch_size`` slices when ``shuffle`` is False (the
+    reference's shuffle_train: false default, SURVEY quirk Q-10), else any
+    composition — bounded by the ``batch_size`` longest graphs.
+    ``row_weights``: optional 0/1 per-row weights (ragged eval batches);
+    weight-0 rows count as empty (the loss PADs their targets).
+    """
+    import numpy as np
+
+    seq = np.asarray(seq)
+    live = (seq[:, 1:] != pad_id).sum(axis=1)
+    if row_weights is not None:
+        live = live * (np.asarray(row_weights) > 0)
+    n_rows = batch_size * (seq.shape[1] - 1)
+    if shuffle:
+        bound = int(np.sort(live)[-batch_size:].sum())
+    else:
+        nb = len(live) // batch_size
+        if nb == 0:
+            return 0
+        bound = int(live[:nb * batch_size].reshape(nb, batch_size)
+                    .sum(axis=1).max())
+    cap = min(n_rows, -(-bound // align) * align)
+    return 0 if cap >= n_rows else int(cap)

@@ -231,14 +231,37 @@ def _bwd_rule(vblock, v_true, mm_dtype, res, g):
 fused_ce_nll.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _fused_ce_sums(y, w, b, targets, pad_id, v_true, vblock, mm_dtype):
-    """(sum of non-PAD NLL, non-PAD count) over the rows of this shard."""
+def _fused_ce_sums(y, w, b, targets, pad_id, v_true, vblock, mm_dtype,
+                   row_cap=0):
+    """(sum of non-PAD NLL, non-PAD count) over the rows of this shard.
+
+    ``row_cap``: static upper bound on the number of non-PAD rows in this
+    call (0 = no bound). The kernel's cost is linear in rows x vocab, and
+    on the wd datasets ~40% of teacher-forcing rows are PAD (graphs are much
+    shorter than the max-edges layout) — so rows are reordered live-first
+    (stable argsort on the PAD mask) and only the first ``row_cap`` enter
+    the kernel. EXACT math: every live row is within the cap by the
+    caller's construction (ops/losses.compute_ce_row_cap — the max over
+    actual batches), PAD rows contribute zero either way; only the f32
+    summation order changes. The (live > cap) guard poisons the loss to
+    +inf rather than silently dropping rows if a caller ever passes an
+    invalid cap."""
     bsz, l, d = y.shape
     x = y.reshape(bsz * l, d).astype(jnp.float32)
     tgt = targets.reshape(-1).astype(jnp.int32)
-    wf = w.astype(jnp.float32)
+    # bf16 matmul mode also STREAMS the head weights as bf16 — half the HBM
+    # bytes and half the VMEM per vocab block, not just a cheaper MXU pass
+    wf = w.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32)
     bf = b.astype(jnp.float32)
     n = x.shape[0]
+    full_mask = (tgt != pad_id).astype(jnp.float32)
+    guard = jnp.float32(0.0)
+    if 0 < row_cap < n:
+        order = jnp.argsort(tgt == pad_id, stable=True)  # live rows first
+        x = x[order[:row_cap]]
+        tgt = tgt[order[:row_cap]]
+        n = row_cap
+        guard = jnp.where(jnp.sum(full_mask) > row_cap, jnp.inf, 0.0)
     if n <= NCHUNK:
         nll = fused_ce_nll(x, wf, bf, tgt, vblock, v_true, mm_dtype)
     else:
@@ -256,12 +279,12 @@ def _fused_ce_sums(y, w, b, targets, pad_id, v_true, vblock, mm_dtype):
                                        mm_dtype)[:stop - start])
         nll = jnp.concatenate(chunks)
     mask = (tgt != pad_id).astype(jnp.float32)
-    return jnp.sum(nll * mask), jnp.sum(mask)
+    return jnp.sum(nll * mask) + guard, jnp.sum(full_mask)
 
 
 def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
                                vblock=VBLOCK, mm_dtype=jnp.float32,
-                               mesh=None):
+                               mesh=None, row_cap=0):
     """Masked-mean CE over non-PAD targets via the fused kernel.
 
     y [B, L, D] hidden states; w [V, D] embedding-layout head weights;
@@ -277,8 +300,10 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
         from jax.sharding import PartitionSpec as P
 
         def local(y, w, b, targets):
+            # row_cap is computed on the global batch; per shard it only
+            # applies when it still bounds the shard's rows (conservative)
             total, count = _fused_ce_sums(y, w, b, targets, pad_id, v_true,
-                                          vblock, mm_dtype)
+                                          vblock, mm_dtype, row_cap)
             return (jax.lax.psum(total, "data"),
                     jax.lax.psum(count, "data"))
 
@@ -288,5 +313,5 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
             out_specs=(P(), P()), check_vma=False)(y, w, b, targets)
     else:
         total, count = _fused_ce_sums(y, w, b, targets, pad_id, v_true,
-                                      vblock, mm_dtype)
+                                      vblock, mm_dtype, row_cap)
     return total / jnp.maximum(count, 1.0), count

@@ -94,6 +94,35 @@ def _use_fused_ce(model: Model, config, mesh=None) -> bool:
     return supported((bs // nd) * l, d, vp)
 
 
+def _make_fused_ce(model: Model, pad_id: int, config, mesh, cap_key):
+    """Closure over the fused logits+CE kernel (ops/pallas/logit_ce.py).
+
+    ``cap_key`` selects the static live-row bound for this data stream
+    ('ce_row_cap' for train batches, 'ce_row_cap_eval' for eval batches —
+    see ops/losses.compute_ce_row_cap): PAD rows beyond the bound never
+    enter the kernel, cutting its row x vocab cost by the data's padding
+    fraction with exact results."""
+    from ark_tpu.ops.pallas.logit_ce import fused_masked_cross_entropy
+
+    v_true = int(config["vocab_size"])
+    mm_dtype = jnp.dtype(config.get("fused_ce_dtype", "float32"))
+    row_cap = int(config.get(cap_key, 0) or 0)
+
+    def fused_ce(params, y, targets, row_weights):
+        w, b = model.head(params)
+        if row_weights is not None:
+            # row_weights are 0/1 ragged-batch masks (train/loop.py);
+            # rows with weight 0 become all-PAD targets, which the
+            # kernel's PAD mask then excludes — same math as the XLA
+            # path's mask multiply.
+            targets = jnp.where(row_weights[:, None] > 0, targets, pad_id)
+        return fused_masked_cross_entropy(y, w, b, targets, pad_id,
+                                          v_true=v_true, mm_dtype=mm_dtype,
+                                          mesh=mesh, row_cap=row_cap)
+
+    return fused_ce
+
+
 def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
              shard_vocab=False):
     # vocab-sharded heads take the XLA sharded-logits path (GSPMD inserts
@@ -102,22 +131,8 @@ def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
     fused = (config is not None and not shard_vocab
              and _use_fused_ce(model, config, mesh))
     if fused:
-        from ark_tpu.ops.pallas.logit_ce import fused_masked_cross_entropy
-
-        v_true = int(config["vocab_size"])
-        mm_dtype = jnp.dtype(config.get("fused_ce_dtype", "float32"))
-
-        def fused_ce(params, y, targets, row_weights):
-            w, b = model.head(params)
-            if row_weights is not None:
-                # row_weights are 0/1 ragged-batch masks (train/loop.py);
-                # rows with weight 0 become all-PAD targets, which the
-                # kernel's PAD mask then excludes — same math as the XLA
-                # path's mask multiply.
-                targets = jnp.where(row_weights[:, None] > 0, targets, pad_id)
-            return fused_masked_cross_entropy(y, w, b, targets, pad_id,
-                                              v_true=v_true,
-                                              mm_dtype=mm_dtype, mesh=mesh)
+        fused_ce = _make_fused_ce(model, pad_id, config, mesh,
+                                  cap_key="ce_row_cap")
 
     if model.kind == "lm" and fused:
         def loss(params, triples, seq, rng, beta, row_weights=None):
@@ -266,6 +281,15 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
         return state, {"loss": mean[0], "reconstruction_loss": mean[1],
                        "kl_loss": mean[2]}
 
+    # eval through the fused kernel too (same math as the XLA logits path,
+    # A/B'd identical): the XLA eval path materializes [B*L, V] logits in
+    # HBM every validation batch — ~320 MB per batch on wd-articles
+    eval_fused = (config is not None and not shard_vocab
+                  and _use_fused_ce(model, config, mesh))
+    if eval_fused:
+        eval_fused_ce = _make_fused_ce(model, pad_id, config, mesh,
+                                       cap_key="ce_row_cap_eval")
+
     @jax.jit
     def eval_epoch(params, triples_all, seq_all, row_weights, rng, beta):
         n = seq_all.shape[0]
@@ -285,12 +309,22 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
                 seq = build_seq_from_triples(
                     triples, layout.ent_base, layout.rel_base, bos, eos)
             triples, seq = constrain(triples), constrain(seq)
+            if is_vae and eval_fused:
+                y, mu, logv = model.features(params, triples, seq[:, :-1],
+                                             rng=k, deterministic=True)
+                ce, _ = eval_fused_ce(params, y, seq[:, 1:], w)
+                kl = kl_mean_weighted(mu, logv, w)
+                return rng, jnp.stack([ce + beta * kl, ce, kl])
             if is_vae:
                 logits, mu, logv = model.apply(params, triples, seq[:, :-1],
                                                rng=k, deterministic=True)
                 ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, w)
                 kl = kl_mean_weighted(mu, logv, w)
                 return rng, jnp.stack([ce + beta * kl, ce, kl])
+            if eval_fused:
+                y = model.features(params, seq[:, :-1], deterministic=True)
+                ce, _ = eval_fused_ce(params, y, seq[:, 1:], w)
+                return rng, jnp.stack([ce, ce, jnp.float32(0.0)])
             logits = model.apply(params, seq[:, :-1], deterministic=True)
             ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, w)
             return rng, jnp.stack([ce, ce, jnp.float32(0.0)])

@@ -57,7 +57,9 @@ def build_setup():
     # logits+CE and the fused Pallas GRU scan; both bit-match the XLA path's
     # training trajectory (A/B'd loss-identical)
     cfg["use_fused_ce"] = os.environ.get("ARK_TPU_BENCH_FUSED", "1") == "1"
-    cfg["use_pallas_gru"] = os.environ.get("ARK_TPU_BENCH_PGRU", "1") == "1"
+    _pgru = os.environ.get("ARK_TPU_BENCH_PGRU", "1")
+    # "1"/"0" for on/off; "stack"/"perlayer" force one kernel family
+    cfg["use_pallas_gru"] = {"1": True, "0": False}.get(_pgru, _pgru)
     bundle = DataBundle(cfg)
     cfg = derive_config(cfg, bundle)
     model = build_model(cfg)
@@ -76,6 +78,12 @@ def measure_tpu(cfg, bundle, model):
     n = TRAIN_STEPS * BATCH
     triples = jnp.asarray(bundle.train.triples[:n])
     seq = jnp.asarray(bundle.train.seq[:n])
+    if os.environ.get("ARK_TPU_BENCH_ROWCAP", "1") == "1":
+        from ark_tpu.ops.losses import compute_ce_row_cap
+        cfg["ce_row_cap"] = compute_ce_row_cap(
+            np.asarray(seq), layout.special_tokens["PAD"], BATCH)
+        log(f"[bench] fused-CE live-row cap: {cfg['ce_row_cap']} "
+            f"of {BATCH * (layout.seq_len - 1)} rows/batch")
     train_epoch, _ = make_epoch_fns(model, layout, cfg)
 
     log("[bench] compiling + warmup train epoch ...")

@@ -129,3 +129,74 @@ def test_chunked_masked_ce_matches_direct(monkeypatch):
     for a, c, name in zip(gd, gc, "y w b".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Live-row capping (row_cap): PAD rows beyond the cap never enter the kernel
+# ---------------------------------------------------------------------------
+
+def test_row_cap_exactness_and_guard():
+    from ark_tpu.ops.pallas.logit_ce import fused_masked_cross_entropy
+    from ark_tpu.ops.losses import masked_cross_entropy
+
+    rng = np.random.default_rng(3)
+    B, L, PAD = 4, 16, 0
+    y = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    # ragged targets: rows have 3..9 live tokens, rest PAD
+    t = np.zeros((B, L), np.int32)
+    live_total = 0
+    for i in range(B):
+        k = 3 + 2 * i
+        t[i, :k] = rng.integers(1, V, size=k)
+        live_total += k
+    t = jnp.asarray(t)
+
+    def value_and_grads(row_cap):
+        def f(y, w, b):
+            ce, cnt = fused_masked_cross_entropy(y, w, b, t, PAD,
+                                                 row_cap=row_cap)
+            return ce
+        with pltpu.force_tpu_interpret_mode():
+            ce, grads = jax.value_and_grad(f, (0, 1, 2))(y, w, b)
+        return ce, grads
+
+    cap = ((live_total + 7) // 8) * 8
+    ce_cap, g_cap = value_and_grads(cap)
+    ce_full, g_full = value_and_grads(0)
+    logits = jnp.einsum("bld,vd->blv", y, w) + b
+    ce_ref, _ = masked_cross_entropy(logits, t, PAD)
+    np.testing.assert_allclose(float(ce_cap), float(ce_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(ce_cap), float(ce_full), rtol=1e-6)
+    for a, c in zip(g_cap, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+    # a cap smaller than the live count must poison the loss, not silently
+    # drop rows
+    ce_bad, _ = value_and_grads(8)
+    assert np.isinf(float(ce_bad))
+
+
+def test_compute_ce_row_cap():
+    from ark_tpu.ops.losses import compute_ce_row_cap
+
+    PAD = 0
+    seq = np.zeros((8, 11), np.int32)       # targets: 10 slots/row
+    lens = [2, 10, 4, 4, 9, 1, 3, 3]
+    for i, k in enumerate(lens):
+        seq[i, :k + 1] = 1                  # k live targets after shift
+    # batches of 4 (fixed order): live sums 20 and 16 -> bound 20 -> cap 24
+    cap = compute_ce_row_cap(seq, PAD, 4, align=8)
+    assert cap == 24
+    # uniform full-length data -> capping can't help
+    full = np.ones((8, 11), np.int32)
+    assert compute_ce_row_cap(full, PAD, 4, align=8) == 0
+    # shuffle: bound by the 4 longest rows (10+9+4+4=27 -> 32 -> 40 slots ok)
+    cap_sh = compute_ce_row_cap(seq, PAD, 4, shuffle=True, align=8)
+    assert cap_sh == 32
+    # row_weights zero out rows
+    w = np.ones(8); w[1] = 0
+    cap_w = compute_ce_row_cap(seq, PAD, 4, row_weights=w, align=8)
+    assert cap_w == 16

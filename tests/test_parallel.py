@@ -246,7 +246,7 @@ def test_pallas_gru_under_mesh():
                vocab_size=layout.vocab_size, n_entities=layout.num_entities,
                n_relations=layout.num_relations, dec_dropout=0.0,
                batch_size=16, vocab_pad_multiple=8,
-               use_pallas_gru=True, use_fused_ce=False)
+               use_pallas_gru="perlayer", use_fused_ce=False)
     mesh = make_mesh({"data": 2})
     rng = np.random.default_rng(2)
     triples = np.stack([rng.integers(0, 40, (16, 3)),
@@ -274,3 +274,16 @@ def test_pallas_gru_under_mesh():
                    jax.random.key(5), 1e-2, 1.0)
     np.testing.assert_allclose(loss_pl, float(mx["loss"]),
                                rtol=1e-5, atol=1e-6)
+
+    # the fused multi-layer stack kernel (bf16-resident weights) under the
+    # same mesh: tracks within bf16 tolerance
+    cfg_s = dict(cfg, use_pallas_gru="stack")
+    m_s = build_model(cfg_s, mesh=mesh)
+    step_s, place_state_s, place_batch_s = make_parallel_train_step(
+        m_s, layout, cfg_s, mesh)
+    state_s = place_state_s(create_train_state(m_s, jax.random.key(0)))
+    with pltpu.force_tpu_interpret_mode():
+        _, ms = step_s(state_s, place_batch_s(triples), place_batch_s(seq),
+                       jax.random.key(5), 1e-2, 1.0)
+    np.testing.assert_allclose(float(ms["loss"]), float(mx["loss"]),
+                               rtol=2e-3)
