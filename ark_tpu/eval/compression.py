@@ -41,10 +41,44 @@ def _make_bits_fn(model, pad_id):
 
 
 def _build_bits_fn(model, pad_id):
+    def _use_fused(seq):
+        """The fused per-row NLL kernel (ops/pallas/logit_ce.py) never
+        materializes the [B*L, V] logits the XLA path round-trips through
+        HBM (~5 GB per 256-graph batch on wd-articles). Same numbers —
+        both are exact f32 NLL (tests/test_pallas_ce.py)."""
+        if model.features is None or model.head is None:
+            return False
+        if jax.default_backend() in ("cpu",):
+            return False
+        from ark_tpu.ops.pallas.logit_ce import supported
+
+        n = seq.shape[0] * (seq.shape[1] - 1)
+        d = int(model.config["d_model"])
+        mult = int(model.config.get("vocab_pad_multiple", 1))
+        v_pad = -(-int(model.config["vocab_size"]) // mult) * mult
+        return supported(n, d, v_pad)
+
+    def _ar_bits_fused(params, y, seq):
+        from ark_tpu.ops.pallas.logit_ce import fused_ce_nll_rows
+
+        w, b = model.head(params)
+        bsz, lm1 = seq.shape[0], seq.shape[1] - 1
+        nll = fused_ce_nll_rows(
+            y.reshape(bsz * lm1, -1).astype(jnp.float32),
+            w.astype(jnp.float32), b.astype(jnp.float32),
+            seq[:, 1:].reshape(-1).astype(jnp.int32), pad_id,
+            int(model.config["vocab_size"])).reshape(bsz, lm1)
+        mask = (seq[:, 1:] != pad_id).astype(jnp.float32)
+        return jnp.sum(nll * mask, axis=1) / LN2
+
     if model.kind == "lm":
         @jax.jit
         def bits(params, triples, seq, rng):
             del triples, rng
+            if _use_fused(seq):
+                y = model.features(params, seq[:, :-1], deterministic=True)
+                ar_bits = _ar_bits_fused(params, y, seq)
+                return ar_bits, jnp.zeros_like(ar_bits)
             logits = model.apply(params, seq[:, :-1], deterministic=True)
             nll = token_nll(logits, seq[:, 1:])
             mask = (seq[:, 1:] != pad_id).astype(jnp.float32)
@@ -53,8 +87,14 @@ def _build_bits_fn(model, pad_id):
     else:
         @jax.jit
         def bits(params, triples, seq, rng):
-            z, mu, logv = model.encode(params, triples, rng)
             from ark_tpu.models.api import kl_per_graph
+
+            if _use_fused(seq):
+                y, mu, logv = model.features(params, triples, seq[:, :-1],
+                                             rng=rng, deterministic=True)
+                ar_bits = _ar_bits_fused(params, y, seq)
+                return ar_bits, kl_per_graph(mu, logv) / LN2
+            z, mu, logv = model.encode(params, triples, rng)
             if model.decoder_arch == "gru":
                 from ark_tpu.models.decoders import gru_cond_apply
                 logits = gru_cond_apply(params["dec"], z, seq[:, :-1],

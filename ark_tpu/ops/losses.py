@@ -112,7 +112,7 @@ def kl_mean_weighted(mu, logv, row_weights=None):
 
 
 def compute_ce_row_cap(seq, pad_id, batch_size, shuffle=False,
-                       row_weights=None, align=128):
+                       row_weights=None, align=128, n_shards=1):
     """Static upper bound on live (non-PAD) teacher-forcing rows per batch.
 
     Host-side (numpy) helper for the fused-CE row-skipping path
@@ -127,6 +127,9 @@ def compute_ce_row_cap(seq, pad_id, batch_size, shuffle=False,
     composition — bounded by the ``batch_size`` longest graphs.
     ``row_weights``: optional 0/1 per-row weights (ragged eval batches);
     weight-0 rows count as empty (the loss PADs their targets).
+    ``n_shards``: under a data-parallel mesh the kernel runs per shard on
+    1/n_shards of the batch (contiguous leading-dim blocks, GSPMD layout);
+    the returned cap then bounds any SHARD's live rows.
     """
     import numpy as np
 
@@ -134,14 +137,17 @@ def compute_ce_row_cap(seq, pad_id, batch_size, shuffle=False,
     live = (seq[:, 1:] != pad_id).sum(axis=1)
     if row_weights is not None:
         live = live * (np.asarray(row_weights) > 0)
-    n_rows = batch_size * (seq.shape[1] - 1)
+    if batch_size % n_shards != 0:
+        return 0
+    group = batch_size // n_shards
+    n_rows = group * (seq.shape[1] - 1)
     if shuffle:
-        bound = int(np.sort(live)[-batch_size:].sum())
+        bound = int(np.sort(live)[-group:].sum())
     else:
         nb = len(live) // batch_size
         if nb == 0:
             return 0
-        bound = int(live[:nb * batch_size].reshape(nb, batch_size)
+        bound = int(live[:nb * batch_size].reshape(nb * n_shards, group)
                     .sum(axis=1).max())
     cap = min(n_rows, -(-bound // align) * align)
     return 0 if cap >= n_rows else int(cap)

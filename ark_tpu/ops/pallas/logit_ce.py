@@ -231,6 +231,27 @@ def _bwd_rule(vblock, v_true, mm_dtype, res, g):
 fused_ce_nll.defvjp(_fwd_rule, _bwd_rule)
 
 
+def fused_ce_nll_rows(x, w, b, tgt, pad_id, v_true, vblock=VBLOCK,
+                      mm_dtype=jnp.float32):
+    """Per-row NLL [N] via the fused kernel, row-chunked so each kernel's
+    VMEM stays bounded (NCHUNK rows per call; the ragged tail is padded with
+    PAD targets and sliced off). Differentiable wrt x, w, b."""
+    n, d = x.shape
+    if n <= NCHUNK:
+        return fused_ce_nll(x, w, b, tgt, vblock, v_true, mm_dtype)
+    chunks = []
+    for start in range(0, n, NCHUNK):
+        stop = min(start + NCHUNK, n)
+        xc, tc = x[start:stop], tgt[start:stop]
+        if stop - start < NCHUNK:
+            padn = NCHUNK - (stop - start)
+            xc = jnp.concatenate([xc, jnp.zeros((padn, d), x.dtype)])
+            tc = jnp.concatenate([tc, jnp.full((padn,), pad_id, tc.dtype)])
+        chunks.append(fused_ce_nll(xc, w, b, tc, vblock, v_true,
+                                   mm_dtype)[:stop - start])
+    return jnp.concatenate(chunks)
+
+
 def _fused_ce_sums(y, w, b, targets, pad_id, v_true, vblock, mm_dtype,
                    row_cap=0):
     """(sum of non-PAD NLL, non-PAD count) over the rows of this shard.
@@ -262,22 +283,7 @@ def _fused_ce_sums(y, w, b, targets, pad_id, v_true, vblock, mm_dtype,
         tgt = tgt[order[:row_cap]]
         n = row_cap
         guard = jnp.where(jnp.sum(full_mask) > row_cap, jnp.inf, 0.0)
-    if n <= NCHUNK:
-        nll = fused_ce_nll(x, wf, bf, tgt, vblock, v_true, mm_dtype)
-    else:
-        # row-chunking keeps each kernel's VMEM bounded; pad the tail chunk
-        # (PAD targets there are masked out below)
-        chunks = []
-        for start in range(0, n, NCHUNK):
-            stop = min(start + NCHUNK, n)
-            xc, tc = x[start:stop], tgt[start:stop]
-            if stop - start < NCHUNK:
-                padn = NCHUNK - (stop - start)
-                xc = jnp.concatenate([xc, jnp.zeros((padn, d), x.dtype)])
-                tc = jnp.concatenate([tc, jnp.full((padn,), pad_id, tc.dtype)])
-            chunks.append(fused_ce_nll(xc, wf, bf, tc, vblock, v_true,
-                                       mm_dtype)[:stop - start])
-        nll = jnp.concatenate(chunks)
+    nll = fused_ce_nll_rows(x, wf, bf, tgt, pad_id, v_true, vblock, mm_dtype)
     mask = (tgt != pad_id).astype(jnp.float32)
     return jnp.sum(nll * mask) + guard, jnp.sum(full_mask)
 
@@ -300,8 +306,8 @@ def fused_masked_cross_entropy(y, w, b, targets, pad_id, v_true=None,
         from jax.sharding import PartitionSpec as P
 
         def local(y, w, b, targets):
-            # row_cap is computed on the global batch; per shard it only
-            # applies when it still bounds the shard's rows (conservative)
+            # row_cap is a per-shard bound here (callers pass
+            # compute_ce_row_cap(..., n_shards=mesh data size))
             total, count = _fused_ce_sums(y, w, b, targets, pad_id, v_true,
                                           vblock, mm_dtype, row_cap)
             return (jax.lax.psum(total, "data"),

@@ -296,13 +296,15 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     # (ops/losses.compute_ce_row_cap): on padded datasets ~40% of
     # teacher-forcing rows are PAD; the kernel never sees them. Exact —
     # the bound is the max over the actual (deterministic) batches.
-    if mesh is None and "ce_row_cap" not in config:
+    if "ce_row_cap" not in config:
         from ark_tpu.ops.losses import compute_ce_row_cap
 
+        n_shards = 1 if mesh is None else dict(mesh.shape).get("data", 1)
         pad = layout.special_tokens["PAD"]
         config["ce_row_cap"] = compute_ce_row_cap(
             bundle.train.seq, pad, config["batch_size"],
-            shuffle=bool(config.get("shuffle_train", False)))
+            shuffle=bool(config.get("shuffle_train", False)),
+            n_shards=n_shards)
         # the same eval_epoch_fn serves the per-epoch val pass AND the
         # final evaluation (test split) — bound over both
         caps = []
@@ -310,7 +312,8 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             _, eseq, ew = bundle.device_eval(split, config["batch_size"])
             caps.append(compute_ce_row_cap(np.asarray(eseq), pad,
                                            config["batch_size"],
-                                           row_weights=ew))
+                                           row_weights=ew,
+                                           n_shards=n_shards))
         config["ce_row_cap_eval"] = 0 if 0 in caps else max(caps)
 
     train_epoch_fn, eval_epoch_fn = make_epoch_fns(model, layout, config,

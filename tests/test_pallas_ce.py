@@ -200,3 +200,39 @@ def test_compute_ce_row_cap():
     w = np.ones(8); w[1] = 0
     cap_w = compute_ce_row_cap(seq, PAD, 4, row_weights=w, align=8)
     assert cap_w == 16
+
+
+def test_fused_ce_nll_rows_chunked_matches_xla():
+    from ark_tpu.ops.pallas.logit_ce import fused_ce_nll_rows, NCHUNK
+
+    rng = np.random.default_rng(5)
+    n = 24  # > patched chunk below
+    x = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.integers(1, V, size=(n,)).astype(np.int32))
+    import ark_tpu.ops.pallas.logit_ce as lce
+    orig = lce.NCHUNK
+    lce.NCHUNK = 8  # force chunking incl. a ragged tail
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_ce_nll_rows(x, w, b, t, 0, V, VB)
+    finally:
+        lce.NCHUNK = orig
+    want = _ref_nll(x, w, b, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compute_ce_row_cap_per_shard():
+    from ark_tpu.ops.losses import compute_ce_row_cap
+
+    seq = np.zeros((8, 11), np.int32)
+    lens = [2, 10, 4, 4, 9, 1, 3, 3]
+    for i, k in enumerate(lens):
+        seq[i, :k + 1] = 1
+    # batch 4, 2 shards -> shard groups of 2: live sums (12, 8) and (10, 6)
+    cap = compute_ce_row_cap(seq, 0, 4, align=8, n_shards=2)
+    assert cap == 16  # bound 12 -> align 8 -> 16
+    # indivisible batch -> capping disabled
+    assert compute_ce_row_cap(seq, 0, 4, align=8, n_shards=3) == 0
