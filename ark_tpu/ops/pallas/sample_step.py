@@ -49,12 +49,23 @@ NEG = -1e30
 
 # rows per kernel invocation: bounds VMEM (y + logits + gumbel temporaries
 # scale with rows; 512 rows compile within the 16 MB scoped-vmem budget at
-# d=512/vblock=512, 2048 rows do not). Larger batches are row-chunked.
+# d=512/vblock<=1024, 2048 rows do not). Larger batches are row-chunked.
 ROWCHUNK = 512
 
 
-def supported(b, d, v, vblock=VBLOCK):
-    return b % 8 == 0 and d % 128 == 0 and v % vblock == 0
+def pick_vblock(v):
+    """Largest vocab tile that divides v (0 = none). Bigger tiles amortize
+    per-block pipeline overhead: at B=512/V=59k, vblock 1024 is ~1.4x faster
+    than 512 (docs/BENCH_NOTES.md); 1280+ overflows VMEM at ROWCHUNK 512."""
+    for vb in (1024, 640, 512, 384, 256, 128):
+        if v % vb == 0:
+            return vb
+    return 0
+
+
+def supported(b, d, v, vblock=None):
+    vb = vblock if vblock else pick_vblock(v)
+    return b % 8 == 0 and d % 128 == 0 and vb > 0 and v % vb == 0
 
 
 def _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true):
@@ -213,7 +224,7 @@ def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
 
 
 def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
-                       k_cands=4, max_rounds=4, vblock=VBLOCK):
+                       k_cands=4, max_rounds=4, vblock=None):
     """One fused sampling step: y [B, D] f32 hidden states, w [V, D]
     embedding-layout head, b [V], seed int32 scalar -> token [B] int32
     drawn from the renormalized top-p nucleus of softmax(logits/T).
@@ -225,6 +236,9 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     defaults, the same residual-bias budget as the XLA rejection path."""
     n = y.shape[0]
     v_true = v_true or w.shape[0]
+    vblock = vblock if vblock else pick_vblock(w.shape[0])
+    assert vblock > 0 and w.shape[0] % vblock == 0, \
+        f"no vocab tile divides V={w.shape[0]} (callers gate on supported())"
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)
     w = w.astype(jnp.float32)

@@ -220,7 +220,9 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     # default (TPU tiling + the fused-CE kernel's divisibility; logits are
     # sliced back so the math matches the unpadded model — models/api.py).
     # Recorded into the saved config so checkpoints round-trip exactly.
-    config.setdefault("vocab_pad_multiple", 128)
+    config.setdefault("vocab_pad_multiple", 1024)  # 1024 serves both the
+    # fused-CE vocab tiles (512) and the fused sampler's preferred 1024
+    # tile (ops/pallas/sample_step.pick_vblock); costs <=1023 pad rows
     is_vae = model_type in ("SAIL", "t-SAIL")
 
     if config.get("use_test_for_final_eval", False):

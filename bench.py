@@ -52,7 +52,7 @@ def build_setup():
         os.path.abspath(__file__)), "configs", "autoreg_wd-articles.yaml")))
     cfg["learning_rate"] = float(cfg["learning_rate"])
     cfg["compute_dtype"] = DTYPE
-    cfg["vocab_pad_multiple"] = 128
+    cfg["vocab_pad_multiple"] = 1024
     # fastest measured variant (see docs/BENCH_NOTES.md): fused Pallas
     # logits+CE and the fused Pallas GRU scan; both bit-match the XLA path's
     # training trajectory (A/B'd loss-identical)
