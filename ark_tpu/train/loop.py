@@ -216,13 +216,6 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     """Executes the full reference training protocol; returns final metrics."""
     model_type = config.get("model_type", "ARK")
     config["model_type"] = model_type
-    # Pad the embedding/head vocab dimension to a lane-aligned multiple by
-    # default (TPU tiling + the fused-CE kernel's divisibility; logits are
-    # sliced back so the math matches the unpadded model — models/api.py).
-    # Recorded into the saved config so checkpoints round-trip exactly.
-    config.setdefault("vocab_pad_multiple", 1024)  # 1024 serves both the
-    # fused-CE vocab tiles (512) and the fused sampler's preferred 1024
-    # tile (ops/pallas/sample_step.pick_vblock); costs <=1023 pad rows
     is_vae = model_type in ("SAIL", "t-SAIL")
 
     if config.get("use_test_for_final_eval", False):
@@ -232,6 +225,16 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
     bundle = DataBundle(config)
     config = derive_config(config, bundle)
+    # Pad the embedding/head vocab dimension to a lane-aligned multiple by
+    # default (TPU tiling + the fused kernels' divisibility; logits are
+    # sliced back so the math matches the unpadded model — models/api.py).
+    # Big vocabs pad to 1024 (serves both the fused-CE 512 tiles and the
+    # fused sampler's preferred 1024 tile, ops/pallas/sample_step.pick_vblock
+    # — <=1023 pad rows is noise at 59k vocab); small vocabs stay at 128
+    # (padding syn-paths' 55-token vocab to 1024 would 8x the head matmul).
+    # Recorded into the saved config so checkpoints round-trip exactly.
+    config.setdefault("vocab_pad_multiple",
+                      1024 if bundle.layout.vocab_size >= 8192 else 128)
     layout = bundle.layout
     print(f"Dataset: {bundle.name}")
     print(f"Entities: {layout.num_entities}, Relations: {layout.num_relations}, "
