@@ -47,6 +47,16 @@ def supported(n, d, v, vblock=VBLOCK):
     return n % 8 == 0 and d % 128 == 0 and v % vblock == 0
 
 
+def _pick_vblocks(n, v, vblock):
+    """(fwd, bwd) vocab tiles. A 1024 tile amortizes per-block pipeline
+    overhead (fwd -13% measured, docs/BENCH_NOTES.md), but the backward's
+    three per-block matmuls + logits/probs temporaries overflow VMEM above
+    ~1024 rows — so the bwd keeps the 512 tile at the full row chunk."""
+    fwd = 1024 if v % 1024 == 0 else vblock
+    bwd = 1024 if (v % 1024 == 0 and n <= 1024) else vblock
+    return fwd, bwd
+
+
 # ---------------------------------------------------------------------------
 # Forward: online logsumexp + target logit gather
 # ---------------------------------------------------------------------------
@@ -198,9 +208,9 @@ def _bwd_call(x, w, b, targets, lse, g, vblock, v_true,
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_ce_nll(x, w, b, targets, vblock=VBLOCK, v_true=None,
-                 mm_dtype=jnp.float32):
+                 mm_dtype=jnp.float32, vblock_bwd=None):
     """Per-row NLL of ``targets`` under logits = x @ w.T + b.
 
     x [N, D] f32, w [V, D] f32 (embedding layout), b [V] f32,
@@ -209,21 +219,23 @@ def fused_ce_nll(x, w, b, targets, vblock=VBLOCK, v_true=None,
     are excluded from the softmax, matching the XLA path's logits slice.
     ``mm_dtype``: matmul input precision (f32 default; bf16 halves the MXU
     time with f32 accumulation — a perf mode, not bit-identical to f32).
+    ``vblock_bwd``: backward vocab tile (defaults to ``vblock``; the bwd
+    has a smaller VMEM budget than the fwd — see _pick_vblocks).
     """
     nll, _ = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0],
                        mm_dtype)
     return nll
 
 
-def _fwd_rule(x, w, b, targets, vblock, v_true, mm_dtype):
+def _fwd_rule(x, w, b, targets, vblock, v_true, mm_dtype, vblock_bwd):
     nll, lse = _fwd_call(x, w, b, targets, vblock, v_true or w.shape[0],
                          mm_dtype)
     return nll, (x, w, b, targets, lse)
 
 
-def _bwd_rule(vblock, v_true, mm_dtype, res, g):
+def _bwd_rule(vblock, v_true, mm_dtype, vblock_bwd, res, g):
     x, w, b, targets, lse = res
-    dx, dw, db = _bwd_call(x, w, b, targets, lse, g, vblock,
+    dx, dw, db = _bwd_call(x, w, b, targets, lse, g, vblock_bwd or vblock,
                            v_true or w.shape[0], mm_dtype)
     return dx, dw, db, None
 
@@ -237,8 +249,11 @@ def fused_ce_nll_rows(x, w, b, tgt, pad_id, v_true, vblock=VBLOCK,
     VMEM stays bounded (NCHUNK rows per call; the ragged tail is padded with
     PAD targets and sliced off). Differentiable wrt x, w, b."""
     n, d = x.shape
+    v = w.shape[0]
     if n <= NCHUNK:
-        return fused_ce_nll(x, w, b, tgt, vblock, v_true, mm_dtype)
+        vb_f, vb_b = _pick_vblocks(n, v, vblock)
+        return fused_ce_nll(x, w, b, tgt, vb_f, v_true, mm_dtype, vb_b)
+    vb_f, vb_b = _pick_vblocks(NCHUNK, v, vblock)
     chunks = []
     for start in range(0, n, NCHUNK):
         stop = min(start + NCHUNK, n)
@@ -247,8 +262,8 @@ def fused_ce_nll_rows(x, w, b, tgt, pad_id, v_true, vblock=VBLOCK,
             padn = NCHUNK - (stop - start)
             xc = jnp.concatenate([xc, jnp.zeros((padn, d), x.dtype)])
             tc = jnp.concatenate([tc, jnp.full((padn,), pad_id, tc.dtype)])
-        chunks.append(fused_ce_nll(xc, w, b, tc, vblock, v_true,
-                                   mm_dtype)[:stop - start])
+        chunks.append(fused_ce_nll(xc, w, b, tc, vb_f, v_true,
+                                   mm_dtype, vb_b)[:stop - start])
     return jnp.concatenate(chunks)
 
 
