@@ -49,11 +49,13 @@ def supported(n, d, v, vblock=VBLOCK):
 
 def _pick_vblocks(n, v, vblock):
     """(fwd, bwd) vocab tiles. A 1024 tile amortizes per-block pipeline
-    overhead (fwd -13% measured, docs/BENCH_NOTES.md), but the backward's
-    three per-block matmuls + logits/probs temporaries overflow VMEM above
-    ~1024 rows — so the bwd keeps the 512 tile at the full row chunk."""
-    fwd = 1024 if v % 1024 == 0 else vblock
-    bwd = 1024 if (v % 1024 == 0 and n <= 1024) else vblock
+    overhead (fwd -13% measured, docs/BENCH_NOTES.md), but both kernels'
+    [rows, vblock] temporaries overflow the 16 MB scoped VMEM above ~1024
+    rows (the fwd by 156 KB inside the train step's jvp at 1360 rows), so
+    the full row chunk keeps the 512 tile."""
+    big_ok = v % 1024 == 0 and n <= 1024
+    fwd = 1024 if big_ok else vblock
+    bwd = 1024 if big_ok else vblock
     return fwd, bwd
 
 
