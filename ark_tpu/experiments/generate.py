@@ -1,0 +1,125 @@
+"""Standalone graph generation (serving) CLI — checkpoint in, graphs out.
+
+New tooling beyond the reference surface: the reference can only sample
+inside its training loop (train.py:513-532) or with forced tokens
+(conditioned.py). This CLI serves any checkpoint — ark_tpu pickles or
+legacy torch ``.pt`` payloads (utils/torch_interop.py) — with NO dataset
+dependency (the vocabs embedded in the checkpoint are the decoder):
+
+    python -m ark_tpu.experiments.generate --checkpoint <path>.pt \
+        [--num-samples N] [--batch B] [--temperature T] [--top-p P]
+        [--top-k K] [--greedy] [--seed S] [--format tsv|jsonl|pretty]
+        [--output FILE]
+
+LM checkpoints (ARK/t-ARK) sample token sequences on-device (single
+lax.scan, fused Pallas top-p kernel where supported); VAE checkpoints
+(SAIL/t-SAIL) decode z ~ N(0, I) greedily (the reference's latent-sampling
+evaluation path, ablation_study.py:682-720). Output: one graph per record
+as (head, relation, tail) label triples.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import numpy as np
+
+from ark_tpu.experiments.conditioned import (
+    _layout_from_config,
+    build_from_checkpoint,
+    load_run_checkpoint,
+    to_labeled_triples,
+)
+from ark_tpu.sample import make_sampler
+
+
+def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
+                    temperature: float = 1.0, top_p: float = 0.9,
+                    top_k: int = 0, greedy: bool = False, seed: int = 0,
+                    model_type: str | None = None):
+    """Returns a list of labeled graphs (each a list of (h, r, t) labels)."""
+    config, state, vocabs = load_run_checkpoint(ckpt_path)
+    model, params, cfg, kind = build_from_checkpoint(config, state,
+                                                     model_type)
+    layout = _layout_from_config(cfg)
+    batch = max(1, min(batch, num_samples))
+    rng = jax.random.key(seed)
+
+    if kind == "decoder_only":
+        sampler = make_sampler(model, layout, sample=not greedy,
+                               temperature=temperature, top_p=top_p,
+                               top_k=top_k)
+
+        def draw(k):
+            return np.asarray(sampler(params, k, batch))
+    else:
+        sampler = make_sampler(model, layout, sample=False)
+        d_latent = cfg["d_latent"]
+
+        def draw(k):
+            kz, ks = jax.random.split(k)
+            z = jax.random.normal(kz, (batch, d_latent))
+            return np.asarray(sampler(params, ks, z))
+
+    seqs = []
+    got = 0
+    while got < num_samples:
+        rng, k = jax.random.split(rng)
+        seqs.append(draw(k))
+        got += batch
+    seqs = np.concatenate(seqs)[:num_samples]
+    return to_labeled_triples(seqs, cfg, vocabs)
+
+
+def _emit(graphs, fmt, out):
+    if fmt == "jsonl":
+        for g in graphs:
+            out.write(json.dumps([list(t) for t in g]) + "\n")
+    elif fmt == "tsv":
+        # intelligraphs-style: one triple per line, blank line between graphs
+        for g in graphs:
+            for h, r, t in g:
+                out.write(f"{h}\t{r}\t{t}\n")
+            out.write("\n")
+    else:
+        for i, g in enumerate(graphs):
+            out.write(f"[{i}]\n")
+            for t in g:
+                out.write(f"   {t}\n")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ARK-TPU graph generation")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--num-samples", type=int, default=100)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-p", type=float, default=0.9)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model-type", default=None,
+                   help="override legacy model_type aliases")
+    p.add_argument("--format", choices=["tsv", "jsonl", "pretty"],
+                   default="pretty")
+    p.add_argument("--output", default=None, help="file (default: stdout)")
+    args = p.parse_args(argv)
+
+    graphs = generate_graphs(
+        args.checkpoint, num_samples=args.num_samples, batch=args.batch,
+        temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
+        greedy=args.greedy, seed=args.seed, model_type=args.model_type)
+    if args.output:
+        with open(args.output, "w") as f:
+            _emit(graphs, args.format, f)
+        print(f"Wrote {len(graphs)} graphs to {args.output}")
+    else:
+        _emit(graphs, args.format, sys.stdout)
+    return graphs
+
+
+if __name__ == "__main__":
+    main()

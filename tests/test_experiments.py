@@ -134,3 +134,33 @@ def test_inspect_checkpoint_cli(wd_movies_sail_ckpt, capsys):
     assert "ark_tpu.pickle.v1" in out
     assert "dataset:  wd-movies" in out
     assert "parameters" in out
+
+
+def test_generate_cli(tmp_path, wd_movies_sail_ckpt):
+    """Standalone serving CLI: checkpoint in, labeled graphs out, no
+    dataset dependency (vocabs come from the checkpoint)."""
+    import os
+    from ark_tpu.experiments.generate import generate_graphs, main
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    graphs = generate_graphs(str(ckpt), num_samples=7, batch=4, seed=3)
+    assert len(graphs) == 7
+    for g in graphs:
+        for h, r, t in g:
+            assert isinstance(h, str) and isinstance(r, str)
+
+    out = tmp_path / "graphs.jsonl"
+    main(["--checkpoint", str(ckpt), "--num-samples", "5", "--batch", "4",
+          "--format", "jsonl", "--output", str(out)])
+    import json
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 5
+
+    out2 = tmp_path / "graphs.tsv"
+    main(["--checkpoint", str(ckpt), "--num-samples", "3", "--batch", "4",
+          "--greedy", "--format", "tsv", "--output", str(out2)])
+    body = open(out2).read()
+    # 3 graph records = 3 trailing separators (graphs may be empty at this
+    # tiny model's quality — the separator structure is the contract)
+    assert body.count("\n") >= 3
