@@ -345,10 +345,11 @@ def gru_stack_spec(gx0, wih, whh, bih, bhh, h0, masks=None):
         return jnp.stack(new_hs), jnp.stack(new_hs)
 
     gx0_t = jnp.swapaxes(gx0, 0, 1)
-    mask_seq = (jnp.swapaxes(masks, 1, 2) if masks is not None
-                else jnp.zeros((gx0_t.shape[0], 0)))
-    mask_t_seq = (jnp.swapaxes(mask_seq, 0, 1) if masks is not None
-                  else mask_seq)
+    if masks is not None:
+        # [NL-1, B, L, H] -> per-scan-step [L, NL-1, B, H]
+        mask_t_seq = jnp.moveaxis(masks, 2, 0)
+    else:
+        mask_t_seq = jnp.zeros((gx0_t.shape[0], 0))
     hT, ys_all = jax.lax.scan(step, h0, (gx0_t, mask_t_seq))
     ys_last = jnp.swapaxes(ys_all[:, -1], 0, 1)
     return ys_last, hT

@@ -187,3 +187,22 @@ def test_gru_apply_stack_mode_integration():
     np.testing.assert_array_equal(np.asarray(ys_d1), np.asarray(ys_d2))
     assert np.abs(np.asarray(ys_d1) - np.asarray(ys_d3)).max() > 0
     assert np.abs(np.asarray(ys_d1) - np.asarray(ys)).max() > 0
+
+
+def test_stack_kernel_dropout_under_mesh():
+    """Dropout masks shard with the batch under shard_map (interpret mode)."""
+    from ark_tpu.parallel import make_mesh
+    from ark_tpu.ops.pallas.gru_stack import gru_stack_sharded
+
+    _, _, gx0, wih, whh, bih, bhh, h0 = _setup()
+    masks = _masks()
+    mesh = make_mesh({"data": 2})
+    with pltpu.force_tpu_interpret_mode():
+        ys_m, ht_m = gru_stack_sharded(gx0, wih, whh, bih, bhh, h0, masks,
+                                       mesh)
+        ys_1, ht_1 = gru_stack_scan_dropout(gx0, wih, whh, bih, bhh, h0,
+                                            masks)
+    np.testing.assert_allclose(np.asarray(ys_m), np.asarray(ys_1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ht_m), np.asarray(ht_1),
+                               rtol=1e-6, atol=1e-6)
