@@ -92,10 +92,14 @@ def measure_tpu(cfg, bundle, model):
     warm_loss = float(met["loss"])  # host fetch = real sync
     log(f"[bench] train compile+warmup {time.time()-t0:.1f}s loss={warm_loss:.3f}")
 
-    t0 = time.time()
-    state, met = train_epoch(state, triples, seq, jax.random.key(2), 1e-4, 1.0)
-    loss = float(met["loss"])
-    dt = time.time() - t0
+    times = []
+    for r in range(3):
+        t0 = time.time()
+        state, met = train_epoch(state, triples, seq, jax.random.key(2 + r),
+                                 1e-4, 1.0)
+        loss = float(met["loss"])
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]  # median of 3 (tunnel jitter)
     train_gps = n / dt
     log(f"[bench] train: {dt:.2f}s for {TRAIN_STEPS} steps x {BATCH} "
         f"-> {train_gps:.0f} graphs/s (loss {loss:.3f})")
