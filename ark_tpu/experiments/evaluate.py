@@ -42,8 +42,17 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
     rng = jax.random.key(seed)
     rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
 
-    _, eval_epoch = make_epoch_fns(model, layout, config)
     triples, seq, w = bundle.device_eval(data_split, config["batch_size"])
+    if "ce_row_cap_eval" not in config and layout.vocab_size >= 8192:
+        # live-row bound for the fused-CE eval path (same skipping the
+        # trainer ships; checkpoints from older runs lack the key)
+        import numpy as np
+
+        from ark_tpu.ops.losses import compute_ce_row_cap
+        config["ce_row_cap_eval"] = compute_ce_row_cap(
+            np.asarray(seq), layout.special_tokens["PAD"],
+            config["batch_size"], row_weights=np.asarray(w))
+    _, eval_epoch = make_epoch_fns(model, layout, config)
     m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
 
     stats = posterior_bits(model, params, getattr(bundle, data_split), layout,
