@@ -17,6 +17,8 @@ from __future__ import annotations
 import math
 from typing import Any, NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -25,15 +27,62 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def adam_tx():
-    # scale_by_adam only; the -lr scaling is applied in the step so lr can be
-    # a runtime scalar (one compilation for the whole cosine schedule).
-    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+def adam_tx(state_dtype=None):
+    """scale_by_adam only; the -lr scaling is applied in the step so lr can
+    be a runtime scalar (one compilation for the whole cosine schedule).
+
+    ``state_dtype``: dtype of the STORED Adam moments. Default (None/f32)
+    is optax's scale_by_adam — bit-exact with torch Adam semantics, the
+    parity configuration. 'bfloat16' keeps mu/nu in bf16 with all moment
+    math in f32 (cast on load/store): the optimizer update is HBM-bound
+    over the 30M-param embedding (the largest single line in the traced
+    wd-articles step, docs/BENCH_NOTES.md) and bf16 moments remove ~29% of
+    its traffic. A perf mode, not bit-identical."""
+    if state_dtype is None or str(state_dtype) == "float32":
+        return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    return _scale_by_adam_cast(0.9, 0.999, 1e-8, jnp.dtype(str(state_dtype)))
+
+
+def _scale_by_adam_cast(b1, b2, eps, dtype):
+    """optax.scale_by_adam semantics with moments stored in ``dtype``."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=dtype)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=jax.tree.map(z, params),
+                                      nu=jax.tree.map(z, params))
+
+    def update(grads, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree.map(
+            lambda m, g: (b1 * m.astype(f32)
+                          + (1 - b1) * g.astype(f32)).astype(dtype),
+            state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: (b2 * v.astype(f32)
+                          + (1 - b2) * jnp.square(g.astype(f32))).astype(dtype),
+            state.nu, grads)
+        count = state.count + 1
+        c = count.astype(f32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        updates = jax.tree.map(
+            lambda m, v: (m.astype(f32) / bc1)
+            / (jnp.sqrt(v.astype(f32) / bc2) + eps),
+            mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_train_state(model, rng) -> TrainState:
     params = model.init(rng)
-    opt_state = adam_tx().init(params)
+    state_dtype = None
+    cfg = getattr(model, "config", None)
+    if isinstance(cfg, dict):
+        state_dtype = cfg.get("adam_state_dtype")
+    opt_state = adam_tx(state_dtype).init(params)
     return TrainState(params=params, opt_state=opt_state)
 
 

@@ -180,7 +180,7 @@ def make_train_step(model: Model, pad_id: int, config=None, mesh=None,
     single-device step — GSPMD partitions the computation, it does not
     change it. The model must have been built with the same mesh
     (build_model(config, mesh=mesh)) so its Pallas kernels shard_map."""
-    tx = adam_tx()
+    tx = adam_tx(config.get("adam_state_dtype") if config else None)
     loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
     constrain = _batch_constrainer(mesh)
 
@@ -242,7 +242,7 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
     bs = int(config["batch_size"])
     shuffle = bool(config.get("shuffle_train", False))
     permute = bool(config.get("permute_triples", False)) and not layout.use_padding
-    tx = adam_tx()
+    tx = adam_tx(config.get("adam_state_dtype"))
     loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
     constrain = _batch_constrainer(mesh)
     is_vae = model.kind == "vae"

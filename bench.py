@@ -57,6 +57,9 @@ def build_setup():
     # logits+CE and the fused Pallas GRU scan; both bit-match the XLA path's
     # training trajectory (A/B'd loss-identical)
     cfg["use_fused_ce"] = os.environ.get("ARK_TPU_BENCH_FUSED", "1") == "1"
+    _adam = os.environ.get("ARK_TPU_BENCH_ADAM_DTYPE", "")
+    if _adam:
+        cfg["adam_state_dtype"] = _adam
     _pgru = os.environ.get("ARK_TPU_BENCH_PGRU", "1")
     # "1"/"0" for on/off; "stack"/"perlayer" force one kernel family
     cfg["use_pallas_gru"] = {"1": True, "0": False}.get(_pgru, _pgru)

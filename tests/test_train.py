@@ -126,3 +126,44 @@ def test_beta_annealing():
     assert beta_for_epoch(cfg, 5, annealed=True) == pytest.approx(0.55)
     assert beta_for_epoch(cfg, 0, annealed=False) == 1.0
     assert beta_for_epoch(dict(cfg, model_type="ARK"), 5, annealed=True) == 1.0
+
+
+def test_bf16_adam_moments_track_f32(small_datasets):
+    """adam_state_dtype='bfloat16' stores the moments in bf16 (f32 moment
+    math) and its loss curve tracks the f32 optimizer closely."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ark_tpu.data import load_data_as_list
+    from ark_tpu.data.dataset import encode_graphs
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.train import create_train_state, make_train_step
+
+    train_g, _, _, (e2i, _), (r2i, _), (mn, mx), _ = \
+        load_data_as_list("syn-paths")
+    layout = build_vocab_layout(len(e2i), len(r2i), mn, mx, False)
+    data = encode_graphs(train_g[:512], layout)
+    base = dict(model_type="ARK", d_model=32, n_layers=2,
+                seq_len=layout.seq_len, vocab_size=layout.vocab_size,
+                n_entities=layout.num_entities,
+                n_relations=layout.num_relations, dec_dropout=0.0,
+                batch_size=32)
+
+    def run(cfg):
+        m = build_model(cfg)
+        state = create_train_state(m, jax.random.key(0))
+        step = make_train_step(m, pad_id=0, config=cfg)
+        tri = jnp.zeros((32, layout.max_edges, 3), jnp.int32)
+        losses = []
+        for i in range(16):
+            batch = jnp.asarray(data.seq[(i % 16) * 32:(i % 16) * 32 + 32])
+            state, met = step(state, tri, batch, jax.random.key(i), 1e-3, 1.0)
+            losses.append(float(met["loss"]))
+        return losses, state
+
+    l32, s32 = run(dict(base))
+    l16, s16 = run(dict(base, adam_state_dtype="bfloat16"))
+    assert s16.opt_state.mu["tok_emb"].dtype == jnp.bfloat16
+    assert s32.opt_state.mu["tok_emb"].dtype == jnp.float32
+    np.testing.assert_allclose(l16, l32, rtol=0.02, atol=0.02)
