@@ -325,3 +325,32 @@ def test_ark_tpu_checkpoints_not_misrouted(tmp_path):
     assert not is_torch_checkpoint(str(path))
     ckpt = load_checkpoint(str(path))
     assert ckpt["format"] == "ark_tpu.pickle.v1"
+
+
+def test_generate_cli_serves_torch_checkpoint(tmp_path):
+    """The serving CLI works directly on a legacy torch checkpoint."""
+    from ark_tpu.experiments.generate import generate_graphs
+
+    torch.manual_seed(7)
+    tm = _ARKWrap(TorchGRULM()).eval()
+    # vocab layout must be consistent for decoding: entities 10 (incl pad),
+    # relations 4 (incl pad), max_edges from seq_len
+    cfg = dict(BASE, model_type="ARK", use_padding=True,
+               min_edges=1, max_edges=(L - 2) // 3,
+               ENT_BASE=3, REL_BASE=3 + BASE["n_entities"],
+               special_tokens={"PAD": 0, "BOS": 1, "EOS": 2})
+    path = tmp_path / "legacy.pt"
+    _save_reference_payload(path, tm, cfg)
+    # vocabs with enough labels to decode any sampled id
+    import torch as _t
+    payload = _t.load(str(path), weights_only=False)
+    payload["vocabs"] = {
+        "e2i": {f"e{i}": i for i in range(BASE["n_entities"])},
+        "i2e": {i: f"e{i}" for i in range(BASE["n_entities"])},
+        "r2i": {f"r{i}": i for i in range(BASE["n_relations"])},
+        "i2r": {i: f"r{i}" for i in range(BASE["n_relations"])},
+    }
+    _t.save(payload, str(path), _use_new_zipfile_serialization=False)
+
+    graphs = generate_graphs(str(path), num_samples=4, batch=4, seed=1)
+    assert len(graphs) == 4
