@@ -1,7 +1,13 @@
 #!/bin/bash
-# Reproduces the round-1 quality evidence in docs/QUALITY.md on one TPU chip.
+# Reproduces the quality evidence in docs/QUALITY.md on one TPU chip.
 # Each run goes through the public CLI; results land in checkpoints/ and the
-# per-run metrics.jsonl files.
+# per-run metrics.jsonl files. Round 2 re-validated every dataset's full
+# config with all round-2 kernels (see the QUALITY round-2 table); the runs
+# below are the representative subset. Add
+#   configs/autoreg_{syn-types,syn-tipr,wd-movies,wd-articles}.yaml
+# for the complete sweep (wd-articles: the shipped 150-epoch protocol
+# overfits — the best-val checkpoint the trainer saves is the model to
+# evaluate; see QUALITY).
 set -e
 cd "$(dirname "$0")/.."
 
