@@ -94,7 +94,10 @@ def _build_bits_fn(model, pad_id):
                                              rng=rng, deterministic=True)
                 ar_bits = _ar_bits_fused(params, y, seq)
                 return ar_bits, kl_per_graph(mu, logv) / LN2
-            z, mu, logv = model.encode(params, triples, rng)
+            # split exactly like model.features does (k_enc, k_dec) so the
+            # fused and XLA paths draw the same z for the same seed
+            z, mu, logv = model.encode(params, triples,
+                                       jax.random.split(rng)[0])
             if model.decoder_arch == "gru":
                 from ark_tpu.models.decoders import gru_cond_apply
                 logits = gru_cond_apply(params["dec"], z, seq[:, :-1],

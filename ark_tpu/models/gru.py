@@ -59,10 +59,13 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
     h0: [num_layers, B, H] or None (zeros). ``use_pallas`` selects the time-
     recurrence implementation:
 
-      - ``True`` / ``"auto"``: the fused multi-layer kernel
-        (ops/pallas/gru_stack.py — one grid step per time step, all layers,
-        bf16-resident weights) where shapes/VMEM allow, else the per-layer
-        f32 kernel (ops/pallas/gru_scan.py), else lax.scan;
+      - ``"auto"``: the fused multi-layer kernel (ops/pallas/gru_stack.py —
+        one grid step per time step, all layers, bf16-resident weights)
+        where shapes/VMEM allow, else the per-layer f32 kernel
+        (ops/pallas/gru_scan.py), else lax.scan;
+      - ``True``: the bit-exact per-layer f32 kernel (legacy configs with
+        ``use_pallas_gru: true`` keep their loss-identical trajectory; the
+        ~1e-4-perturbing bf16 stack kernel is opt-in via "auto"/"stack");
       - ``"stack"`` / ``"perlayer"``: force one kernel family (A/B, parity);
       - ``False``: lax.scan (the all-f32 semantic reference).
 
@@ -74,7 +77,7 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
     if h0 is None:
         h0 = jnp.zeros((len(layers), b, hidden), x.dtype)
     n_data = 1 if mesh is None else dict(mesh.shape).get("data", 1)
-    mode = "auto" if use_pallas is True else use_pallas
+    mode = "perlayer" if use_pallas is True else use_pallas
     # measured crossover (docs/BENCH_NOTES.md): the stack kernel wins where
     # grid-step overhead dominates (small per-shard batch); at batch >= 64
     # the per-layer kernel's hoisted XLA input projections win back more

@@ -29,6 +29,8 @@ reference itself never resumes, SURVEY §5).
 
 from __future__ import annotations
 
+import pickle
+
 import numpy as np
 
 __all__ = ["is_torch_checkpoint", "load_torch_checkpoint",
@@ -36,18 +38,20 @@ __all__ = ["is_torch_checkpoint", "load_torch_checkpoint",
 
 # torch zipfile serialization starts with a local-file header; the legacy
 # (_use_new_zipfile_serialization=False, reference train.py:589) stream is a
-# pickle whose first opcodes encode torch's magic number.
+# pickle whose FIRST pickled object is torch's magic number 0x1950a86a20f9469cfc6c
+# (protocol 2, LONG1 opcode, 10 little-endian bytes, STOP). Sniffing that exact
+# header (not a substring) avoids misrouting native ark_tpu pickles whose bytes
+# merely contain 'torch' somewhere.
 _ZIP_MAGIC = b"PK\x03\x04"
-_PICKLE_PROTO = b"\x80"
+_LEGACY_MAGIC = b"\x80\x02\x8a\x0a" + (0x1950A86A20F9469CFC6C).to_bytes(
+    10, "little") + b"."
 
 
 def is_torch_checkpoint(path: str) -> bool:
-    """Cheap sniff: zip container, or a pickle that mentions torch."""
+    """Cheap sniff: torch zip container, or the legacy-serialization magic."""
     with open(path, "rb") as f:
-        head = f.read(4096)
-    if head.startswith(_ZIP_MAGIC):
-        return True
-    return head.startswith(_PICKLE_PROTO) and b"torch" in head
+        head = f.read(len(_LEGACY_MAGIC))
+    return head.startswith(_ZIP_MAGIC) or head == _LEGACY_MAGIC
 
 
 def _t2n(t) -> np.ndarray:
@@ -226,7 +230,16 @@ def load_torch_checkpoint(path: str) -> dict:
     scheduler state is replaced by None (no training resume from torch)."""
     import torch
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: the reference payload (train.py:576-585) is tensors
+    # plus plain containers, which the restricted unpickler supports for both
+    # the zip and legacy serializations — never execute arbitrary pickle code.
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+    except pickle.UnpicklingError as e:
+        raise ValueError(
+            f"{path} looks like a torch checkpoint but is not loadable with "
+            f"weights_only=True; refusing to unpickle arbitrary code: {e}"
+        ) from e
     config = dict(payload["config"])
     out = {
         "epoch": payload.get("epoch"),

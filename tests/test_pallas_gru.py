@@ -75,15 +75,18 @@ def test_model_path_with_pallas_flag():
     m1 = build_model(cfg)
     # 'perlayer' is the all-f32 kernel: bit-matches the scan path
     m2 = build_model(dict(cfg, use_pallas_gru="perlayer"))
-    # True routes to auto (the bf16-weight multi-layer stack kernel here):
-    # tracks within bf16 tolerance
+    # True routes to the bit-exact per-layer kernel (legacy configs keep
+    # their f32 trajectory); "auto"/"stack" opt into the bf16 stack kernel
     m3 = build_model(dict(cfg, use_pallas_gru=True))
+    m4 = build_model(dict(cfg, use_pallas_gru="stack"))
     params = m1.init(jax.random.key(0))
     seq = jax.random.randint(jax.random.key(1), (8, 10), 0, 64)
     a = m1.apply(params, seq)
     with pltpu.force_tpu_interpret_mode():
         b = m2.apply(params, seq)
         c = m3.apply(params, seq)
+        d = m4.apply(params, seq)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=0.05,
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(d), rtol=0.05,
                                atol=0.05)

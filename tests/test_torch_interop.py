@@ -327,6 +327,57 @@ def test_ark_tpu_checkpoints_not_misrouted(tmp_path):
     assert ckpt["format"] == "ark_tpu.pickle.v1"
 
 
+def test_native_pickle_with_torch_substring_not_misrouted(tmp_path):
+    """A native pickle whose bytes contain 'torch' (e.g. a config string)
+    must not be sniffed as a torch checkpoint (ADVICE r2: substring match
+    false-positived; the sniff now checks torch's actual magic number)."""
+    from ark_tpu.utils.checkpoint import save_checkpoint
+    from ark_tpu.utils.torch_interop import is_torch_checkpoint
+
+    cfg = dict(BASE, model_type="ARK",
+               experiment_name="torch comparison baseline")
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    path = tmp_path / "native_torchy.pt"
+    save_checkpoint(str(path), epoch=1, params=params, opt_state={},
+                    scheduler_state=None, val_loss=1.0, config=cfg,
+                    vocabs={}, dataset_meta={})
+    raw = open(path, "rb").read()
+    assert b"torch" in raw  # the substring IS present in the payload
+    assert not is_torch_checkpoint(str(path))
+    assert load_checkpoint(str(path))["format"] == "ark_tpu.pickle.v1"
+
+
+def test_malicious_torch_pickle_refused(tmp_path):
+    """A torch-magic-prefixed pickle carrying a code-executing payload must
+    raise, not execute (ADVICE r2 medium: weights_only=True enforced)."""
+    import pickle
+
+    import pytest
+
+    from ark_tpu.utils.torch_interop import (_LEGACY_MAGIC,
+                                             load_torch_checkpoint)
+
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, (f"touch {marker}",))
+
+    path = tmp_path / "evil.pt"
+    # torch's legacy stream pickles the magic number first, then protocol,
+    # sys_info, then the object — a crafted object must not execute
+    proto = pickle.dumps(1001, protocol=2)
+    sysinfo = pickle.dumps({"little_endian": True}, protocol=2)
+    payload = pickle.dumps({"config": {}, "boom": Evil()}, protocol=2)
+    with open(path, "wb") as f:
+        f.write(_LEGACY_MAGIC + proto + sysinfo + payload)
+    with pytest.raises(Exception):
+        load_torch_checkpoint(str(path))
+    assert not marker.exists(), "malicious pickle payload was executed"
+
+
 def test_generate_cli_serves_torch_checkpoint(tmp_path):
     """The serving CLI works directly on a legacy torch checkpoint."""
     from ark_tpu.experiments.generate import generate_graphs
