@@ -19,6 +19,7 @@ W&B metric names follow the reference surface exactly (SURVEY §5).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import warnings
@@ -138,40 +139,71 @@ class SamplerBank:
             self.model = build_model(dict(config, compute_dtype=str(sd)),
                                      mesh=mesh)
         self._lm_sampler = None
+        self._lm_multi = None
         self._latent_sampler = None
+        self._latent_multi = None
 
     def sample_sequences(self, params, rng, target_n):
         """LM (ARK family) stochastic sampling, reference call surface
-        train.py:513-532: sample=True, temperature/top_p(0.9 default)/top_k."""
+        train.py:513-532: sample=True, temperature/top_p(0.9 default)/top_k.
+
+        All chunks run in ONE device dispatch (a lax.scan over chunks) with a
+        single host fetch — through the axon tunnel each dispatch costs
+        ~30-40 ms, which round 2's per-chunk host loop paid target_n/chunk
+        times (docs/BENCH_NOTES.md sampler trace). The per-chunk rng splits
+        mirror the host loop exactly, so the sampled tokens are bitwise
+        identical to a chunk-at-a-time fetch."""
         if self._lm_sampler is None:
             self._lm_sampler = make_sampler(
                 self.model, self.layout, sample=True,
                 temperature=self.config.get("temperature", 1.0),
                 top_p=self.config.get("top_p", 0.9),
                 top_k=self.config.get("top_k", 0), mesh=self.mesh)
-        outs = []
-        got = 0
-        while got < target_n:
+            base, chunk = self._lm_sampler, self.chunk
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def multi(params, rng, n_chunks):
+                def body(r, _):
+                    r, k = jax.random.split(r)
+                    return r, base(params, k, chunk)
+                _, seqs = jax.lax.scan(body, rng, None, length=n_chunks)
+                return seqs.reshape(n_chunks * chunk, -1)
+
+            self._lm_multi = multi
+        n_chunks = -(-target_n // self.chunk)
+        if n_chunks == 1:
             rng, k = jax.random.split(rng)
-            outs.append(np.asarray(self._lm_sampler(params, k, self.chunk)))
-            got += self.chunk
-        return np.concatenate(outs)[:target_n]
+            return np.asarray(self._lm_sampler(params, k, self.chunk)
+                              )[:target_n]
+        return np.asarray(self._lm_multi(params, rng, n_chunks))[:target_n]
 
     def sample_latent_sequences(self, params, rng, target_n):
         """SAIL family: z ~ N(0, I) -> greedy decode (beam=1, the reference's
-        training-time evaluation path, ablation_study.py:682-720)."""
+        training-time evaluation path, ablation_study.py:682-720). Same
+        one-dispatch chunk scan as sample_sequences."""
         if self._latent_sampler is None:
             self._latent_sampler = make_sampler(self.model, self.layout,
                                                 sample=False, mesh=self.mesh)
-        d_latent = self.config["d_latent"]
-        outs = []
-        got = 0
-        while got < target_n:
+            base, chunk = self._latent_sampler, self.chunk
+            d_latent = self.config["d_latent"]
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def multi(params, rng, n_chunks):
+                def body(r, _):
+                    r, kz, ks = jax.random.split(r, 3)
+                    z = jax.random.normal(kz, (chunk, d_latent))
+                    return r, base(params, ks, z)
+                _, seqs = jax.lax.scan(body, rng, None, length=n_chunks)
+                return seqs.reshape(n_chunks * chunk, -1)
+
+            self._latent_multi = multi
+        n_chunks = -(-target_n // self.chunk)
+        if n_chunks == 1:
             rng, kz, ks = jax.random.split(rng, 3)
-            z = jax.random.normal(kz, (self.chunk, d_latent))
-            outs.append(np.asarray(self._latent_sampler(params, ks, z)))
-            got += self.chunk
-        return np.concatenate(outs)[:target_n]
+            z = jax.random.normal(kz, (self.chunk, self.config["d_latent"]))
+            return np.asarray(self._latent_sampler(params, ks, z))[:target_n]
+        return np.asarray(self._latent_multi(params, rng, n_chunks)
+                          )[:target_n]
 
 
 def sample_and_evaluate(model, params, bundle, config, rng, target_n,

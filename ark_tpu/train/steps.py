@@ -123,6 +123,45 @@ def _make_fused_ce(model: Model, pad_id: int, config, mesh, cap_key):
     return fused_ce
 
 
+def _make_adam_apply(config, mesh):
+    """(state, grads, lr) -> TrainState.
+
+    The fused Pallas optimizer (ops/pallas/adam.py: one HBM pass per leaf
+    instead of XLA's three sweeps) engages on 'auto' on TPU for the
+    replicated-params layouts (mesh=None; sharded/mixed-dtype states keep
+    the optax path — GSPMD owns their partitioning). Both paths are
+    bit-identical (tests/test_pallas_adam.py)."""
+    cfg = config or {}
+    tx = adam_tx(cfg.get("adam_state_dtype"))
+    mode = cfg.get("use_fused_adam", "auto")
+    fused = (mode == "xla" or _flag(cfg, "use_fused_adam")) \
+        and mesh is None and not cfg.get("adam_state_dtype")
+    interpret = bool(cfg.get("fused_adam_interpret"))
+    if (fused and mode != "xla") or interpret:
+        from ark_tpu.ops.pallas.adam import fused_adam_apply
+
+        def apply(state: TrainState, grads, lr):
+            params, opt_state = fused_adam_apply(
+                state.params, grads, state.opt_state, lr,
+                interpret=interpret)
+            return TrainState(params, opt_state)
+    elif fused:
+        from ark_tpu.ops.pallas.adam import fused_adam_apply_xla
+
+        def apply(state: TrainState, grads, lr):
+            params, opt_state = fused_adam_apply_xla(
+                state.params, grads, state.opt_state, lr)
+            return TrainState(params, opt_state)
+    else:
+        def apply(state: TrainState, grads, lr):
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return TrainState(params, opt_state)
+    return apply
+
+
 def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
              shard_vocab=False):
     # vocab-sharded heads take the XLA sharded-logits path (GSPMD inserts
@@ -180,7 +219,7 @@ def make_train_step(model: Model, pad_id: int, config=None, mesh=None,
     single-device step — GSPMD partitions the computation, it does not
     change it. The model must have been built with the same mesh
     (build_model(config, mesh=mesh)) so its Pallas kernels shard_map."""
-    tx = adam_tx(config.get("adam_state_dtype") if config else None)
+    adam_apply = _make_adam_apply(config, mesh)
     loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
     constrain = _batch_constrainer(mesh)
 
@@ -189,10 +228,8 @@ def make_train_step(model: Model, pad_id: int, config=None, mesh=None,
         triples, seq = constrain(triples), constrain(seq)
         (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, triples, seq, rng, beta)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return TrainState(params, opt_state), {
+        state = adam_apply(state, grads, lr)
+        return state, {
             "loss": loss, "reconstruction_loss": ce, "kl_loss": kl}
 
     return step
@@ -242,7 +279,7 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
     bs = int(config["batch_size"])
     shuffle = bool(config.get("shuffle_train", False))
     permute = bool(config.get("permute_triples", False)) and not layout.use_padding
-    tx = adam_tx(config.get("adam_state_dtype"))
+    adam_apply = _make_adam_apply(config, mesh)
     loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
     constrain = _batch_constrainer(mesh)
     is_vae = model.kind == "vae"
@@ -271,10 +308,8 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
             triples, seq = constrain(triples), constrain(seq)
             (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, triples, seq, k_drop, beta)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-            return (TrainState(params, opt_state), rng), jnp.stack([loss, ce, kl])
+            state = adam_apply(state, grads, lr)
+            return (state, rng), jnp.stack([loss, ce, kl])
 
         (state, _), ms = jax.lax.scan(body, (state, rng), jnp.arange(nb))
         mean = ms.mean(axis=0)

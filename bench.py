@@ -27,7 +27,8 @@ import numpy as np
 
 BATCH = 16           # reference config batch size (configs/autoreg_wd-articles.yaml)
 TRAIN_STEPS = 256    # timed steps per measurement
-SAMPLE_BATCH = 512
+SAMPLE_BATCH = 512   # per-chunk generation batch (sample_chunk)
+SAMPLE_TOTAL = 2048  # graphs per timed request (4 chunks, one dispatch)
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 DTYPE = os.environ.get("ARK_TPU_BENCH_DTYPE", "float32")
@@ -63,6 +64,9 @@ def build_setup():
     _adam = os.environ.get("ARK_TPU_BENCH_ADAM_DTYPE", "")
     if _adam:
         cfg["adam_state_dtype"] = _adam
+    _fadam = os.environ.get("ARK_TPU_BENCH_FADAM", "")
+    if _fadam:
+        cfg["use_fused_adam"] = _fadam == "1"
     _pgru = os.environ.get("ARK_TPU_BENCH_PGRU", "auto")
     # "auto"/"stack"/"perlayer" select a kernel family; "1" (legacy) is the
     # bit-exact per-layer kernel; "0" is the lax.scan reference
@@ -113,25 +117,30 @@ def measure_tpu(cfg, bundle, model):
 
     # optional reduced-precision decode path (params stay f32)
     sample_dtype = os.environ.get("ARK_TPU_BENCH_SAMPLE_DTYPE", "")
-    smodel = model
+    scfg = dict(cfg, sample_chunk=SAMPLE_BATCH)
     if sample_dtype and sample_dtype != DTYPE:
-        from ark_tpu.models import build_model
-        smodel = build_model(dict(cfg, compute_dtype=sample_dtype))
-    sampler = make_sampler(smodel, layout, sample=True,
-                           temperature=cfg.get("temperature", 1.0),
-                           top_p=cfg.get("top_p", 0.9),
-                           top_k=cfg.get("top_k", 0))
-    log("[bench] compiling + warmup sampler ...")
+        scfg["sample_dtype"] = sample_dtype
+    # the production sampling path (SamplerBank.sample_sequences): all chunks
+    # of the request run on-device in one dispatch (lax.scan over chunks),
+    # one host fetch per call — the measured number is device-bound, not
+    # axon-dispatch-bound (round-2 VERDICT item 1)
+    from ark_tpu.train.loop import SamplerBank
+    bank = SamplerBank(model, layout, scfg)
+    log("[bench] compiling + warmup sampler "
+        f"({SAMPLE_TOTAL // SAMPLE_BATCH} chunks x {SAMPLE_BATCH}) ...")
     t0 = time.time()
-    _ = int(np.asarray(sampler(state.params, jax.random.key(3), SAMPLE_BATCH)).sum())
+    _ = int(bank.sample_sequences(state.params, jax.random.key(3),
+                                  SAMPLE_TOTAL).sum())
     log(f"[bench] sample compile+warmup {time.time()-t0:.1f}s")
     t0 = time.time()
     reps = 4
     for i in range(reps):
-        out = np.asarray(sampler(state.params, jax.random.key(10 + i), SAMPLE_BATCH))
+        out = bank.sample_sequences(state.params, jax.random.key(10 + i),
+                                    SAMPLE_TOTAL)
     dt = (time.time() - t0) / reps
-    sample_gps = SAMPLE_BATCH / dt
-    log(f"[bench] sample: {dt*1000:.0f} ms/batch{SAMPLE_BATCH} "
+    sample_gps = SAMPLE_TOTAL / dt
+    log(f"[bench] sample: {dt*1000:.0f} ms/{SAMPLE_TOTAL} "
+        f"({SAMPLE_TOTAL // SAMPLE_BATCH} x {SAMPLE_BATCH}) "
         f"-> {sample_gps:.0f} graphs/s")
     return train_gps, sample_gps
 

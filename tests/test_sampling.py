@@ -219,3 +219,38 @@ def test_per_row_beam_equals_single_row_reference_beam(mt):
     for i in range(4):
         want = np.asarray(beam_generate(m, params, LAYOUT, z[i:i + 1], beam=3))
         np.testing.assert_array_equal(got[i], want[0], err_msg=f"row {i}")
+
+
+@pytest.mark.parametrize("mt", ["ARK", "SAIL"])
+def test_sampler_bank_multi_chunk_matches_host_loop(mt):
+    """The one-dispatch chunk scan (round 3) must produce bitwise the same
+    sequences as round 2's chunk-at-a-time host loop: same per-chunk rng
+    split structure, same chunk shapes."""
+    from ark_tpu.sample import make_sampler
+    from ark_tpu.train.loop import SamplerBank
+
+    m, params = _model(mt)
+    cfg = dict(BASE, model_type=mt, sample_chunk=8, temperature=1.0,
+               top_p=0.9, top_k=0)
+    bank = SamplerBank(m, LAYOUT, cfg, chunk=8)
+    rng = jax.random.key(42)
+    if mt == "ARK":
+        got = bank.sample_sequences(params, rng, 20)  # 3 chunks, sliced
+        base = make_sampler(m, LAYOUT, sample=True, temperature=1.0,
+                            top_p=0.9, top_k=0)
+        outs, r = [], rng
+        for _ in range(3):
+            r, k = jax.random.split(r)
+            outs.append(np.asarray(base(params, k, 8)))
+        want = np.concatenate(outs)[:20]
+    else:
+        got = bank.sample_latent_sequences(params, rng, 20)
+        base = make_sampler(m, LAYOUT, sample=False)
+        outs, r = [], rng
+        for _ in range(3):
+            r, kz, ks = jax.random.split(r, 3)
+            z = jax.random.normal(kz, (8, BASE["d_latent"]))
+            outs.append(np.asarray(base(params, ks, z)))
+        want = np.concatenate(outs)[:20]
+    assert got.shape == (20, LAYOUT.seq_len)
+    np.testing.assert_array_equal(got, want)
