@@ -100,6 +100,9 @@ def compute_entity_sorting_loss(entity_logits, sorted_entities, mask=None):
     return jnp.mean(nll)
 
 
+LN2 = 0.6931471805599453
+
+
 def kl_mean_weighted(mu, logv, row_weights=None):
     """Batch-mean KL matching reference models.py:199-200; with optional row
     weights the mean runs over real rows only."""
@@ -109,6 +112,32 @@ def kl_mean_weighted(mu, logv, row_weights=None):
     w = row_weights.astype(jnp.float32)
     per_row = jnp.mean(elt, axis=1)
     return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def kl_free_bits_weighted(mu, logv, free_bits, row_weights=None):
+    """Free-bits KL training objective (Kingma et al. 2016, IAF appendix):
+    each latent dimension's batch-mean KL is floored at ``free_bits`` bits
+    before averaging, so the optimizer gains nothing by collapsing a
+    dimension below the floor — the mitigation knob for the t-SAIL posterior
+    collapse documented in docs/QUALITY.md.
+
+    DELIBERATE DEVIATION from the reference (which has no free-bits; its
+    ELBO is ablation_study.py:63-73): config ``free_bits`` is 0/off by
+    default, and the reported train/val ``kl_loss`` metrics always remain
+    the TRUE (unfloored) KL — the floor only shapes the gradient.
+
+    ``free_bits`` is in BITS per latent dimension (the literature's unit);
+    internally floored in nats. With the reference's element-mean KL
+    convention (kl_mean_weighted), the floored objective is
+    mean_j(max(lambda, mean_batch KL_j))."""
+    elt = -0.5 * (1 + logv - jnp.square(mu) - jnp.exp(logv))  # [B, D] nats
+    if row_weights is None:
+        kl_dim = jnp.mean(elt, axis=0)
+    else:
+        w = row_weights.astype(jnp.float32)[:, None]
+        kl_dim = jnp.sum(elt * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    lam = jnp.float32(free_bits) * LN2
+    return jnp.mean(jnp.maximum(kl_dim, lam))
 
 
 def compute_ce_row_cap(seq, pad_id, batch_size, shuffle=False,

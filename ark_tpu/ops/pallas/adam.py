@@ -1,14 +1,22 @@
 """Fused Adam parameter+moment update as a single Pallas pass.
 
-The traced wd-articles train step spends ~36% of its time in the optimizer
-update (docs/BENCH_NOTES.md): XLA lowers optax's staged tree_maps
-(scale_by_adam -> -lr scaling -> apply_updates) into three separate HBM
-sweeps per leaf — mu, nu, and params each get their own read-modify-write
-fusion, re-reading mu'/nu' for the params sweep. The minimal traffic is one
-pass: read (p, g, mu, nu), write (p', mu', nu') — 7 array sweeps instead of
-~10. This kernel streams exactly that, f32 end-to-end.
+STATUS: DOCUMENTED NEGATIVE RESULT — kept for the A/B evidence, default
+OFF (see docs/BENCH_NOTES.md "Round 3: fused Adam"). On the real chip the
+kernel measured 0.58x the optax path (2401 vs 4116 graphs/s, wd-articles
+bench config) and is not bit-exact on hardware (Mosaic contracts
+multiply-adds differently than XLA:TPU). The companion
+``fused_adam_apply_xla`` (same single-pass formula as one multi-output
+tree_map) proved XLA already lowers the staged optax path to equivalent
+traffic: it is bit-identical and throughput-neutral.
 
-Semantics are BIT-IDENTICAL to the baseline step
+Original motivation: the traced wd-articles train step spends ~36% of its
+time in the optimizer update (docs/BENCH_NOTES.md round-2 trace); the
+hypothesis was that XLA's three read-modify-write fusions re-read mu'/nu'
+and a single pass — read (p, g, mu, nu), write (p', mu', nu') — would cut
+~30% of that traffic. The A/B refuted the hypothesis.
+
+Semantics target (asserted bitwise on CPU, tests/test_pallas_adam.py):
+the baseline step composition
 (optax.scale_by_adam(b1,b2,eps) + ``-lr*u`` + ``p+u``, train/steps.py):
 
     mu'  = (1-b1)*g + b1*mu                      [optax tree_update_moment]

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ark_tpu.models.api import Model
-from ark_tpu.ops.losses import kl_mean_weighted, masked_cross_entropy
+from ark_tpu.ops.losses import (kl_free_bits_weighted, kl_mean_weighted,
+                                masked_cross_entropy)
 from ark_tpu.train.state import TrainState, adam_tx
 
 
@@ -133,9 +134,15 @@ def _make_adam_apply(config, mesh):
     bit-identical (tests/test_pallas_adam.py)."""
     cfg = config or {}
     tx = adam_tx(cfg.get("adam_state_dtype"))
-    mode = cfg.get("use_fused_adam", "auto")
-    fused = (mode == "xla" or _flag(cfg, "use_fused_adam")) \
-        and mesh is None and not cfg.get("adam_state_dtype")
+    # DEFAULT OFF: the fused Pallas optimizer measured SLOWER than XLA's
+    # lowering of the optax path (2401 vs 4116 graphs/s on the wd-articles
+    # bench config) and is not bit-identical on hardware (Mosaic contracts
+    # multiply-adds differently than XLA) — the documented negative result
+    # in docs/BENCH_NOTES.md. "xla" (one multi-output tree_map) is
+    # bit-identical and throughput-neutral; both stay available for A/B.
+    mode = cfg.get("use_fused_adam", False)
+    fused = bool(mode) and mesh is None \
+        and not cfg.get("adam_state_dtype")
     interpret = bool(cfg.get("fused_adam_interpret"))
     if (fused and mode != "xla") or interpret:
         from ark_tpu.ops.pallas.adam import fused_adam_apply
@@ -172,6 +179,14 @@ def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
     if fused:
         fused_ce = _make_fused_ce(model, pad_id, config, mesh,
                                   cap_key="ce_row_cap")
+    # free-bits KL floor (opt-in deviation; ops/losses.py docstring): the
+    # objective's KL term is floored, the reported kl metric stays true
+    free_bits = float((config or {}).get("free_bits", 0.0) or 0.0)
+    if free_bits > 0.0:
+        def kl_obj(mu, logv, row_weights):
+            return kl_free_bits_weighted(mu, logv, free_bits, row_weights)
+    else:
+        kl_obj = kl_mean_weighted
 
     if model.kind == "lm" and fused:
         def loss(params, triples, seq, rng, beta, row_weights=None):
@@ -193,7 +208,7 @@ def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
                                          rng=rng_model, deterministic=False)
             ce, _ = fused_ce(params, y, seq[:, 1:], row_weights)
             kl = kl_mean_weighted(mu, logv, row_weights)
-            return ce + beta * kl, (ce, kl)
+            return ce + beta * kl_obj(mu, logv, row_weights), (ce, kl)
     else:
         def loss(params, triples, seq, rng, beta, row_weights=None):
             rng_model, _ = jax.random.split(rng)
@@ -202,7 +217,7 @@ def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
                                            deterministic=False)
             ce, _ = masked_cross_entropy(logits, seq[:, 1:], pad_id, row_weights)
             kl = kl_mean_weighted(mu, logv, row_weights)
-            return ce + beta * kl, (ce, kl)
+            return ce + beta * kl_obj(mu, logv, row_weights), (ce, kl)
     return loss
 
 

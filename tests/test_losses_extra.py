@@ -4,6 +4,7 @@ defines torch semantics.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -107,3 +108,46 @@ def test_verify_generated_graphs_and_sample_and_verify(small_datasets):
     assert out["total_count"] == 8
     uniq = count_unique_graphs(m, params, layout, d_latent=6, num_samples=16)
     assert 1 <= len(uniq) <= 16
+
+
+def test_kl_free_bits_floor_and_gradient():
+    """Free-bits objective (ops/losses.py): dims below the floor contribute
+    exactly the floor and get ZERO gradient (no reward for collapsing
+    further); dims above the floor behave like the plain KL."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ark_tpu.ops.losses import (LN2, kl_free_bits_weighted,
+                                    kl_mean_weighted)
+
+    b, d = 8, 4
+    key = jax.random.key(0)
+    # dims 0,1 collapsed (mu~0, logv~0 -> KL~0); dims 2,3 far from prior
+    mu = jnp.concatenate([jnp.zeros((b, 2)),
+                          2.0 + jax.random.normal(key, (b, 2)) * 0.1], axis=1)
+    logv = jnp.zeros((b, d))
+
+    fb = 0.5  # bits/dim
+    lam = fb * LN2
+    val = kl_free_bits_weighted(mu, logv, fb)
+    elt = -0.5 * (1 + logv - mu**2 - jnp.exp(logv))
+    kl_dim = elt.mean(axis=0)
+    want = jnp.mean(jnp.maximum(kl_dim, lam))
+    assert float(val) == pytest.approx(float(want))
+    assert float(val) > float(kl_mean_weighted(mu, logv))  # floor binds
+
+    # free_bits=0 == plain batch-mean KL
+    assert float(kl_free_bits_weighted(mu, logv, 0.0)) == pytest.approx(
+        float(kl_mean_weighted(mu, logv)))
+
+    g = jax.grad(lambda m: kl_free_bits_weighted(m, logv, fb))(mu)
+    g = np.asarray(g)
+    assert np.all(g[:, :2] == 0.0), "collapsed dims must get zero gradient"
+    assert np.all(np.abs(g[:, 2:]) > 0.0)
+
+    # weighted variant: padding rows excluded from the per-dim mean
+    w = jnp.array([1.0] * 6 + [0.0] * 2)
+    mu2 = mu.at[6:].set(100.0)  # garbage in padded rows must not matter
+    a = kl_free_bits_weighted(mu[:6], logv[:6], fb)
+    bv = kl_free_bits_weighted(mu2, logv, fb, row_weights=w)
+    assert float(a) == pytest.approx(float(bv))
