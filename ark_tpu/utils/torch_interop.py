@@ -34,7 +34,8 @@ import pickle
 import numpy as np
 
 __all__ = ["is_torch_checkpoint", "load_torch_checkpoint",
-           "torch_state_dict_to_params"]
+           "torch_state_dict_to_params", "params_to_torch_state_dict",
+           "save_torch_checkpoint"]
 
 # torch zipfile serialization starts with a local-file header; the legacy
 # (_use_new_zipfile_serialization=False, reference train.py:589) stream is a
@@ -222,6 +223,156 @@ def torch_state_dict_to_params(state_dict: dict, config: dict) -> dict:
             },
         }
     raise ValueError(f"unknown model_type for torch interop: {mt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Export: ark_tpu params -> reference torch checkpoint (the inverse of the
+# reader above). Closes the interop loop: checkpoints trained here load in
+# the reference's own tooling (conditioned.py:16-25 torch.load + strict
+# load_state_dict into the reference modules, train.py:576-589 payload).
+# ---------------------------------------------------------------------------
+
+def _inv_linear(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.ascontiguousarray(p["w"].T)
+    sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _inv_layer_norm(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.asarray(p["g"])
+    sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _inv_mha(sd, prefix, p):
+    sd[f"{prefix}.in_proj_weight"] = np.ascontiguousarray(p["in_proj_w"].T)
+    sd[f"{prefix}.in_proj_bias"] = np.asarray(p["in_proj_b"])
+    _inv_linear(sd, f"{prefix}.out_proj", p["out_proj"])
+
+
+def _inv_txf_stack(sd, prefix, layers):
+    for i, lp in enumerate(layers):
+        base = f"{prefix}.{i}"
+        _inv_mha(sd, f"{base}.self_attn", lp["self_attn"])
+        if "cross_attn" in lp:
+            _inv_mha(sd, f"{base}.multihead_attn", lp["cross_attn"])
+        _inv_linear(sd, f"{base}.linear1", lp["linear1"])
+        _inv_linear(sd, f"{base}.linear2", lp["linear2"])
+        _inv_layer_norm(sd, f"{base}.norm1", lp["norm1"])
+        _inv_layer_norm(sd, f"{base}.norm2", lp["norm2"])
+        if "norm3" in lp:
+            _inv_layer_norm(sd, f"{base}.norm3", lp["norm3"])
+
+
+def _inv_gru(sd, prefix, p):
+    for k, lp in enumerate(p["layers"]):
+        sd[f"{prefix}.weight_ih_l{k}"] = np.ascontiguousarray(lp["w_ih"].T)
+        sd[f"{prefix}.weight_hh_l{k}"] = np.ascontiguousarray(lp["w_hh"].T)
+        sd[f"{prefix}.bias_ih_l{k}"] = np.asarray(lp["b_ih"])
+        sd[f"{prefix}.bias_hh_l{k}"] = np.asarray(lp["b_hh"])
+
+
+def _inv_head(sd, prefix, head, tok_emb_true, config):
+    """Reference Linear head [V, D]; tied heads store the embedding as
+    ``out.weight`` too (torch state_dict materializes tied tensors under
+    both names)."""
+    v = int(config["vocab_size"])
+    sd[f"{prefix}.bias"] = np.asarray(head["b"])[:v]
+    if "w" in head:
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(head["w"])[:, :v].T)
+    else:
+        sd[f"{prefix}.weight"] = tok_emb_true
+
+
+def _inv_mlp_encoder(sd, enc):
+    sd["enc.e_emb.weight"] = np.asarray(enc["e_emb"])
+    sd["enc.r_emb.weight"] = np.asarray(enc["r_emb"])
+    # reference MLP is Sequential(Linear, GELU, ...): Linears at 0, 2, 4...
+    # (models.py:13-64; mirrored by tests/test_torch_interop.TorchMLPEnc)
+    for j, lp in enumerate(enc["mlp"]):
+        _inv_linear(sd, f"enc.mlp.{2 * j}", lp)
+    _inv_linear(sd, "enc.mu", enc["mu"])
+    _inv_linear(sd, "enc.logv", enc["logv"])
+
+
+def _inv_txf_encoder(sd, enc):
+    sd["enc.e_emb.weight"] = np.asarray(enc["e_emb"])
+    sd["enc.r_emb.weight"] = np.asarray(enc["r_emb"])
+    _inv_txf_stack(sd, "enc.txf.layers", enc["txf"])
+    _inv_linear(sd, "enc.mu", enc["mu"])
+    _inv_linear(sd, "enc.logv", enc["logv"])
+
+
+def params_to_torch_state_dict(params, config: dict) -> dict:
+    """ark_tpu parameter pytree -> reference state_dict (numpy f32 values,
+    reference key names/layouts; vocab padding rows sliced off). Exact
+    inverse of torch_state_dict_to_params — round-trip asserted in
+    tests/test_torch_interop.py."""
+    params = jax_tree_to_numpy(params)
+    mt = config["model_type"]
+    v = int(config["vocab_size"])
+    sd = {}
+    if mt in ("ARK", "t-ARK"):
+        tok = params["tok_emb"][:v]
+        sd["dec.tok_emb.weight"] = tok
+        sd["dec.pos_emb.weight"] = params["pos_emb"]
+        if mt == "ARK":
+            _inv_gru(sd, "dec.gru", params["gru"])
+        else:
+            _inv_txf_stack(sd, "dec.txf.layers", params["txf"])
+        _inv_head(sd, "dec.out", params["out"], tok, config)
+        return sd
+    if mt == "SAIL":
+        _inv_mlp_encoder(sd, params["enc"])
+    elif mt == "t-SAIL":
+        _inv_txf_encoder(sd, params["enc"])
+    else:
+        raise ValueError(f"unknown model_type for torch export: {mt!r}")
+    dec = params["dec"]
+    tok = dec["tok_emb"][:v]
+    sd["dec.tok_emb.weight"] = tok
+    if "pos_emb" in dec:
+        sd["dec.pos_emb.weight"] = dec["pos_emb"]
+    _inv_linear(sd, "dec.z_proj", dec["z_proj"])
+    if "gru" in dec:
+        _inv_gru(sd, "dec.gru", dec["gru"])
+    else:
+        _inv_txf_stack(sd, "dec.txf.layers", dec["txf"])
+    _inv_head(sd, "dec.out", dec["out"], tok, config)
+    return sd
+
+
+def jax_tree_to_numpy(tree):
+    """Device arrays -> contiguous float32/... numpy, leaving numpy alone."""
+    def one(x):
+        a = np.asarray(x)
+        return np.ascontiguousarray(
+            a.astype(np.float32) if a.dtype.kind == "f" else a)
+    import jax
+    return jax.tree.map(one, tree)
+
+
+def save_torch_checkpoint(path: str, *, params, config: dict, epoch=0,
+                          val_loss=None, vocabs=None, dataset_meta=None):
+    """Write a reference-format torch checkpoint (payload schema
+    train.py:576-585, legacy serialization train.py:589) loadable by the
+    reference's conditioned.py / interpolation.py and by this repo's own
+    torch reader. Optimizer/scheduler state is torch-specific and written
+    as None (the reference never resumes; SURVEY §5)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in params_to_torch_state_dict(params, config).items()}
+    payload = {
+        "epoch": epoch,
+        "model_state_dict": sd,
+        "optimizer_state_dict": None,
+        "scheduler_state_dict": None,
+        "val_loss": val_loss,
+        "config": dict(config),
+        "vocabs": vocabs or {},
+        "dataset_meta": dataset_meta or {},
+    }
+    torch.save(payload, path, _use_new_zipfile_serialization=False)
 
 
 def load_torch_checkpoint(path: str) -> dict:

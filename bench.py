@@ -28,7 +28,7 @@ import numpy as np
 BATCH = 16           # reference config batch size (configs/autoreg_wd-articles.yaml)
 TRAIN_STEPS = 256    # timed steps per measurement
 SAMPLE_BATCH = 512   # per-chunk generation batch (sample_chunk)
-SAMPLE_TOTAL = 2048  # graphs per timed request (4 chunks, one dispatch)
+SAMPLE_TOTAL = 8192  # graphs per timed request (16 chunks, one dispatch)
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 DTYPE = os.environ.get("ARK_TPU_BENCH_DTYPE", "float32")

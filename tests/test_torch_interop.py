@@ -405,3 +405,141 @@ def test_generate_cli_serves_torch_checkpoint(tmp_path):
 
     graphs = generate_graphs(str(path), num_samples=4, batch=4, seed=1)
     assert len(graphs) == 4
+
+
+# ---------------------------------------------------------------------------
+# Export (round-3 VERDICT item 5): ark_tpu-trained params -> reference torch
+# format. Gold test: torch twin modules load the exported state_dict with
+# strict=True and reproduce the ark model's forward logits.
+# ---------------------------------------------------------------------------
+
+def _export_roundtrip(tmp_path, mt, twin_factory, fwd, pad_mult=8):
+    from ark_tpu.utils.torch_interop import save_torch_checkpoint
+
+    cfg = dict(BASE, model_type=mt, vocab_pad_multiple=pad_mult)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(3))
+    path = tmp_path / f"export_{mt}.pt"
+    save_torch_checkpoint(str(path), params=params, config=cfg, epoch=5,
+                          val_loss=2.5,
+                          vocabs={"e2i": {"a": 0}, "i2e": {0: "a"},
+                                  "r2i": {"r": 0}, "i2r": {0: "r"}},
+                          dataset_meta={"dataset": "syn-paths",
+                                        "n_entities": 10, "n_relations": 4})
+
+    # 1) reference-tooling load: torch.load + strict load_state_dict into
+    #    the reference twin module (conditioned.py:16-25, 58-70 semantics)
+    payload = torch.load(str(path), map_location="cpu", weights_only=True)
+    assert payload["epoch"] == 5 and payload["val_loss"] == 2.5
+    assert payload["vocabs"]["e2i"] == {"a": 0}
+    tm = twin_factory()
+    tm.load_state_dict(payload["model_state_dict"], strict=True)
+    tm.eval()
+
+    # 2) forward parity torch twin vs ark model
+    seq = _rand_seq(jax.random.key(4))
+    got, want = fwd(model, params, tm, seq)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # 3) this repo's own reader reads it back (full round trip). Vocab
+    # PADDING rows differ by construction (native init randomizes them,
+    # the reader zero-fills; they are never indexed) — so compare the
+    # models' behavior, then the trees with padding rows masked out.
+    ckpt = load_checkpoint(str(path))
+    assert ckpt["format"] == "torch.interop"
+    back = to_device_tree(ckpt["model_state_dict"])
+    got2, _ = fwd(model, back, tm, seq)
+    got1, _ = fwd(model, params, tm, seq)
+    np.testing.assert_allclose(got2, got1, rtol=1e-5, atol=1e-5)
+    flat_a = jax.tree.flatten_with_path(params)[0]
+    flat_b = dict(jax.tree.flatten_with_path(back)[0])
+    for path_k, a in flat_a:
+        b = flat_b[path_k]
+        a, b = np.asarray(a), np.asarray(b)
+        keys = "/".join(str(k) for k in path_k)
+        if "tok_emb" in keys or ("out" in keys and a.ndim == 1):
+            a, b = a[:V], b[:V]  # drop vocab padding rows
+        elif "out" in keys and "w" in keys:
+            a, b = a[:, :V], b[:, :V]
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6,
+                                   err_msg=keys)
+
+
+def _fwd_lm(model, params, tm, seq):
+    got = np.asarray(model.apply(params, seq, deterministic=True))
+    with torch.no_grad():
+        want = tm(torch.tensor(np.asarray(seq), dtype=torch.long)).numpy()
+    return got, want
+
+
+def _fwd_vae(model, params, tm, seq):
+    z = jax.random.normal(jax.random.key(5), (3, DLAT))
+    from ark_tpu.models.decoders import gru_cond_apply, txf_cond_apply
+    if model.decoder_arch == "gru":
+        got = gru_cond_apply(params["dec"], z, seq, deterministic=True,
+                             vocab_out=V)
+    else:
+        got = txf_cond_apply(params["dec"], z, seq, NH, deterministic=True,
+                             vocab_out=V)
+    with torch.no_grad():
+        want = tm.dec(torch.tensor(np.asarray(z)),
+                      torch.tensor(np.asarray(seq), dtype=torch.long)).numpy()
+    # encoder parity too
+    triples = np.stack([
+        np.random.default_rng(0).integers(0, 9, (3, 3)),
+        np.random.default_rng(1).integers(0, 3, (3, 3)),
+        np.random.default_rng(2).integers(0, 9, (3, 3))], axis=-1)
+    tt = jnp.asarray(triples, jnp.int32)
+    _, mu, logv = model.encode(params, tt, jax.random.key(6))
+    with torch.no_grad():
+        tmu, tlogv = tm.enc.stats(torch.tensor(triples, dtype=torch.long))
+    np.testing.assert_allclose(np.asarray(mu), tmu.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logv), tlogv.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    return np.asarray(got), want
+
+
+def test_export_ark_gru(tmp_path):
+    _export_roundtrip(tmp_path, "ARK", lambda: _ARKWrap(TorchGRULM()),
+                      _fwd_lm)
+
+
+def test_export_t_ark(tmp_path):
+    _export_roundtrip(tmp_path, "t-ARK", lambda: _ARKWrap(TorchTxfLM()),
+                      _fwd_lm)
+
+
+def test_export_sail(tmp_path):
+    _export_roundtrip(tmp_path, "SAIL", TorchSAIL, _fwd_vae)
+
+
+def test_export_t_sail(tmp_path):
+    _export_roundtrip(tmp_path, "t-SAIL", TorchTSAIL, _fwd_vae)
+
+
+def test_export_cli(tmp_path):
+    """export_torch CLI: native checkpoint in, reference format out."""
+    from ark_tpu.experiments.export_torch import main as export_main
+    from ark_tpu.utils.checkpoint import save_checkpoint
+    from ark_tpu.utils.torch_interop import is_torch_checkpoint
+
+    cfg = dict(BASE, model_type="ARK")
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    src = tmp_path / "native.pt"
+    dst = tmp_path / "exported.pt"
+    save_checkpoint(str(src), epoch=3, params=params, opt_state={},
+                    scheduler_state=None, val_loss=1.0, config=cfg,
+                    vocabs={}, dataset_meta={})
+    export_main([str(src), str(dst)])
+    assert is_torch_checkpoint(str(dst))
+    ckpt = load_checkpoint(str(dst))
+    assert ckpt["format"] == "torch.interop"
+    got = build_model(ckpt["config"]).apply(
+        to_device_tree(ckpt["model_state_dict"]),
+        _rand_seq(jax.random.key(1)), deterministic=True)
+    want = model.apply(params, _rand_seq(jax.random.key(1)),
+                       deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
