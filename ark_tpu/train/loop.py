@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+import sys
 import warnings
 
 import jax
@@ -392,6 +393,21 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                             "best_val_loss": float(best_val_loss),
                         })
 
+    # tqdm progress over epochs (reference train.py:42,91 wraps its batch
+    # loop; here a whole epoch is ONE device dispatch, so the epoch is the
+    # natural progress unit). "auto" shows the bar only on a tty so logs
+    # stay clean; config key `progress: true|false|auto`.
+    prog = None
+    _p = config.get("progress", "auto")
+    if _p is True or (_p == "auto" and sys.stderr.isatty()):
+        try:
+            from tqdm import tqdm
+            prog = tqdm(total=num_epochs, initial=start_epoch, unit="ep",
+                        desc=f"{config['dataset']} {config['model_type']}",
+                        dynamic_ncols=True)
+        except ImportError:
+            prog = None
+
     for epoch in range(start_epoch, num_epochs):
         print(f"\nEpoch {epoch + 1}/{num_epochs}")
         lr = lr_for_epoch(config, epoch)
@@ -485,7 +501,13 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                 checkpoint_dir,
                 f"{bundle.name}_{model_type}_checkpoint_epoch_{epoch + 1}.pt"),
                 epoch + 1, val_loss)
+        if prog is not None:
+            prog.set_postfix(train=f"{train_loss:.3f}", val=f"{val_loss:.3f}",
+                             best=f"{best_val_loss:.3f}")
+            prog.update(1)
 
+    if prog is not None:
+        prog.close()
     # ------------------------- final validation ----------------------------
     final_metrics = final_validation(model, state, bundle, config, run, rng,
                                      sampler_bank, eval_epoch_fn, mesh=mesh)
