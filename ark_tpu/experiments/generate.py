@@ -48,29 +48,29 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
     batch = max(1, min(batch, num_samples))
     rng = jax.random.key(seed)
 
-    if kind == "decoder_only":
-        sampler = make_sampler(model, layout, sample=not greedy,
-                               temperature=temperature, top_p=top_p,
-                               top_k=top_k)
-
-        def draw(k):
-            return np.asarray(sampler(params, k, batch))
-    else:
+    if kind == "decoder_only" and greedy:
+        # greedy LM decode (no SamplerBank path for sample=False LMs)
         sampler = make_sampler(model, layout, sample=False)
-        d_latent = cfg["d_latent"]
+        seqs, got = [], 0
+        while got < num_samples:
+            rng, k = jax.random.split(rng)
+            seqs.append(np.asarray(sampler(params, k, batch)))
+            got += batch
+        seqs = np.concatenate(seqs)[:num_samples]
+    else:
+        # production path: all chunks of the request run in ONE device
+        # dispatch (SamplerBank chunk scan; same rng split structure as a
+        # chunk-at-a-time loop, so outputs are bitwise unchanged)
+        from ark_tpu.train.loop import SamplerBank
 
-        def draw(k):
-            kz, ks = jax.random.split(k)
-            z = jax.random.normal(kz, (batch, d_latent))
-            return np.asarray(sampler(params, ks, z))
-
-    seqs = []
-    got = 0
-    while got < num_samples:
-        rng, k = jax.random.split(rng)
-        seqs.append(draw(k))
-        got += batch
-    seqs = np.concatenate(seqs)[:num_samples]
+        bank = SamplerBank(model, layout,
+                           dict(cfg, sample_chunk=batch,
+                                temperature=temperature, top_p=top_p,
+                                top_k=top_k))
+        if kind == "decoder_only":
+            seqs = bank.sample_sequences(params, rng, num_samples)
+        else:
+            seqs = bank.sample_latent_sequences(params, rng, num_samples)
     return to_labeled_triples(seqs, cfg, vocabs)
 
 
