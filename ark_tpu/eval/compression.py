@@ -17,15 +17,11 @@ summing masked per-token NLL; that is what we compute, batched and jitted
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ark_tpu.ops.losses import token_nll
-
-LN2 = math.log(2)
+from ark_tpu.ops.losses import LN2, token_nll
 
 
 _BITS_CACHE: dict = {}

@@ -59,8 +59,11 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
         seqs = np.concatenate(seqs)[:num_samples]
     else:
         # production path: all chunks of the request run in ONE device
-        # dispatch (SamplerBank chunk scan; same rng split structure as a
-        # chunk-at-a-time loop, so outputs are bitwise unchanged)
+        # dispatch (SamplerBank chunk scan). LM outputs are bitwise the
+        # prior release's for a given --seed (same per-chunk rng splits);
+        # the VAE path's z-key derivation changed (3-way split per chunk),
+        # so a fixed seed draws different — equally distributed — graphs
+        # than pre-round-3 releases.
         from ark_tpu.train.loop import SamplerBank
 
         bank = SamplerBank(model, layout,

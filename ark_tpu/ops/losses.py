@@ -15,6 +15,8 @@ fusion (XLA fuses this with the logits matmul epilogue).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -100,7 +102,7 @@ def compute_entity_sorting_loss(entity_logits, sorted_entities, mask=None):
     return jnp.mean(nll)
 
 
-LN2 = 0.6931471805599453
+LN2 = math.log(2)  # the one shared definition; eval/compression imports it
 
 
 def kl_mean_weighted(mu, logv, row_weights=None):

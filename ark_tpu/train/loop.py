@@ -153,7 +153,14 @@ class SamplerBank:
         ~30-40 ms, which round 2's per-chunk host loop paid target_n/chunk
         times (docs/BENCH_NOTES.md sampler trace). The per-chunk rng splits
         mirror the host loop exactly, so the sampled tokens are bitwise
-        identical to a chunk-at-a-time fetch."""
+        identical to a chunk-at-a-time fetch.
+
+        Each DISTINCT chunk count compiles its own scan (n_chunks is a
+        static argnum) — ~6 s through the tunnel once the single-chunk
+        sampler is compiled. All shipped call sites use one fixed target_n
+        per process (verify_every / final eval / bench / generate), so a
+        run pays this once; callers cycling many target_n values should
+        round them to a common multiple of ``sample_chunk``."""
         if self._lm_sampler is None:
             self._lm_sampler = make_sampler(
                 self.model, self.layout, sample=True,

@@ -180,7 +180,9 @@ def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
         fused_ce = _make_fused_ce(model, pad_id, config, mesh,
                                   cap_key="ce_row_cap")
     # free-bits KL floor (opt-in deviation; ops/losses.py docstring): the
-    # objective's KL term is floored, the reported kl metric stays true
+    # OPTIMIZED objective's KL term is floored; the reported loss/kl
+    # metrics stay the true (unfloored) ELBO terms so train/val losses
+    # remain comparable to free_bits=0 runs
     free_bits = float((config or {}).get("free_bits", 0.0) or 0.0)
     if free_bits > 0.0:
         def kl_obj(mu, logv, row_weights):
@@ -209,6 +211,7 @@ def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
             ce, _ = fused_ce(params, y, seq[:, 1:], row_weights)
             kl = kl_mean_weighted(mu, logv, row_weights)
             return ce + beta * kl_obj(mu, logv, row_weights), (ce, kl)
+
     else:
         def loss(params, triples, seq, rng, beta, row_weights=None):
             rng_model, _ = jax.random.split(rng)
@@ -244,8 +247,11 @@ def make_train_step(model: Model, pad_id: int, config=None, mesh=None,
         (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, triples, seq, rng, beta)
         state = adam_apply(state, grads, lr)
+        # metric loss = true ELBO (== the optimized value unless free_bits
+        # floors the KL term; see _loss_fn)
         return state, {
-            "loss": loss, "reconstruction_loss": ce, "kl_loss": kl}
+            "loss": ce + beta * kl, "reconstruction_loss": ce,
+            "kl_loss": kl}
 
     return step
 
@@ -324,7 +330,9 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
             (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, triples, seq, k_drop, beta)
             state = adam_apply(state, grads, lr)
-            return (state, rng), jnp.stack([loss, ce, kl])
+            # metric loss = true ELBO (matches eval_epoch; free_bits floors
+            # only the optimized objective)
+            return (state, rng), jnp.stack([ce + beta * kl, ce, kl])
 
         (state, _), ms = jax.lax.scan(body, (state, rng), jnp.arange(nb))
         mean = ms.mean(axis=0)

@@ -39,20 +39,27 @@ __all__ = ["is_torch_checkpoint", "load_torch_checkpoint",
 
 # torch zipfile serialization starts with a local-file header; the legacy
 # (_use_new_zipfile_serialization=False, reference train.py:589) stream is a
-# pickle whose FIRST pickled object is torch's magic number 0x1950a86a20f9469cfc6c
-# (protocol 2, LONG1 opcode, 10 little-endian bytes, STOP). Sniffing that exact
-# header (not a substring) avoids misrouting native ark_tpu pickles whose bytes
-# merely contain 'torch' somewhere.
+# pickle whose FIRST pickled object is torch's magic number
+# 0x1950a86a20f9469cfc6c (LONG1 opcode, 10 little-endian bytes, STOP).
+# Sniffing that exact header (not a substring) avoids misrouting native
+# ark_tpu pickles whose bytes merely contain 'torch' somewhere. Each pickle
+# protocol frames the magic differently (protocols >= 4 insert a FRAME
+# opcode), so all plausible prefixes are precomputed.
+import pickle as _pickle
+
 _ZIP_MAGIC = b"PK\x03\x04"
-_LEGACY_MAGIC = b"\x80\x02\x8a\x0a" + (0x1950A86A20F9469CFC6C).to_bytes(
-    10, "little") + b"."
+_LEGACY_MAGICS = tuple(
+    _pickle.dumps(0x1950A86A20F9469CFC6C, protocol=p) for p in range(2, 6))
+_LEGACY_MAGIC = _LEGACY_MAGICS[0]  # protocol 2: torch's default
 
 
 def is_torch_checkpoint(path: str) -> bool:
-    """Cheap sniff: torch zip container, or the legacy-serialization magic."""
+    """Cheap sniff: torch zip container, or the legacy-serialization magic
+    (any pickle protocol)."""
     with open(path, "rb") as f:
-        head = f.read(len(_LEGACY_MAGIC))
-    return head.startswith(_ZIP_MAGIC) or head == _LEGACY_MAGIC
+        head = f.read(max(len(m) for m in _LEGACY_MAGICS))
+    return head.startswith(_ZIP_MAGIC) or any(
+        head.startswith(m) for m in _LEGACY_MAGICS)
 
 
 def _t2n(t) -> np.ndarray:

@@ -66,7 +66,9 @@ def build_setup():
         cfg["adam_state_dtype"] = _adam
     _fadam = os.environ.get("ARK_TPU_BENCH_FADAM", "")
     if _fadam:
-        cfg["use_fused_adam"] = _fadam == "1"
+        # "1"/"0" toggle the Pallas kernel; "xla" selects the one-tree_map
+        # A/B variant (docs/BENCH_NOTES.md round-3 table)
+        cfg["use_fused_adam"] = {"1": True, "0": False}.get(_fadam, _fadam)
     _pgru = os.environ.get("ARK_TPU_BENCH_PGRU", "auto")
     # "auto"/"stack"/"perlayer" select a kernel family; "1" (legacy) is the
     # bit-exact per-layer kernel; "0" is the lax.scan reference

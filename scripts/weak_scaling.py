@@ -101,10 +101,13 @@ def main(argv=None):
         # virtual CPU mesh (the conftest recipe: env alone is too late here,
         # the child also forces the cpu platform before first backend use)
         env = dict(os.environ)
-        flags = env.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            env["XLA_FLAGS"] = (
-                f"{flags} --xla_force_host_platform_device_count={n}").strip()
+        # drop any pre-existing device-count flag (a stale value would give
+        # every child the same mesh size), then set this size's
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f)
+        env["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={n}").strip()
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         code = (
