@@ -39,7 +39,8 @@ from ark_tpu.sample import make_sampler
 def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
                     temperature: float = 1.0, top_p: float = 0.9,
                     top_k: int = 0, greedy: bool = False, seed: int = 0,
-                    model_type: str | None = None):
+                    model_type: str | None = None,
+                    sample_strategy: str = "auto"):
     """Returns a list of labeled graphs (each a list of (h, r, t) labels)."""
     config, state, vocabs = load_run_checkpoint(ckpt_path)
     model, params, cfg, kind = build_from_checkpoint(config, state,
@@ -69,7 +70,8 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
         bank = SamplerBank(model, layout,
                            dict(cfg, sample_chunk=batch,
                                 temperature=temperature, top_p=top_p,
-                                top_k=top_k))
+                                top_k=top_k,
+                                fused_sample_strategy=sample_strategy))
         if kind == "decoder_only":
             seqs = bank.sample_sequences(params, rng, num_samples)
         else:
@@ -106,6 +108,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-type", default=None,
                    help="override legacy model_type aliases")
+    p.add_argument("--sample-strategy", default="auto",
+                   choices=["auto", "gumbel", "cdf"],
+                   help="fused-kernel candidate draw (cdf compiles ~45x "
+                        "faster at ~0.84x throughput; docs/BENCH_NOTES.md)")
     p.add_argument("--format", choices=["tsv", "jsonl", "pretty"],
                    default="pretty")
     p.add_argument("--output", default=None, help="file (default: stdout)")
@@ -114,7 +120,8 @@ def main(argv=None):
     graphs = generate_graphs(
         args.checkpoint, num_samples=args.num_samples, batch=args.batch,
         temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
-        greedy=args.greedy, seed=args.seed, model_type=args.model_type)
+        greedy=args.greedy, seed=args.seed, model_type=args.model_type,
+        sample_strategy=args.sample_strategy)
     if args.output:
         with open(args.output, "w") as f:
             _emit(graphs, args.format, f)

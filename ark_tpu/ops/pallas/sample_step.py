@@ -30,6 +30,33 @@ all kept), so accepting the first in-nucleus candidate is exact rejection
 sampling from the renormalized nucleus. P(a row rejects all K) =
 (1-top_p)^K; the caller retries with a fresh seed for the (rare) stragglers.
 
+Strategy "cdf" (inverse-CDF candidates) replaces pass A's per-element
+Gumbel noise (K x [B, VBLOCK] random fields plus two transcendentals per
+element per block) with K *scalar* uniforms per row and three noise-free
+passes. Measured on hardware this is 0.84x the Gumbel strategy — each pass
+is matmul-bound at production tile sizes, so the pass count (3 vs 2) is
+everything and the noise is effectively free — but it compiles 45x faster
+and its distribution is CPU-testable (docs/BENCH_NOTES.md round-3 A/B):
+
+  Pass L: flash log-sum-exp only (one matmul read of W).
+  Pass C (sequential grid over vocab blocks): recompute the logits block,
+    p = exp(l - lse), running in-row prefix mass; candidate k is the first
+    vocab index whose cumulative mass reaches target u_k ~ U(0,1) — the
+    classic inverse-CDF draw, an exact sample from softmax(logits) just
+    like Gumbel-argmax, but the only per-element work is one exp (shared
+    across candidates), one cumsum, and K compares.
+  Pass B: identical nucleus-membership masses as above.
+
+The acceptance rule and retry loop are shared, so both strategies sample
+the identical renormalized-nucleus distribution; they differ only in how a
+candidate-from-softmax is drawn. CDF boundary precision: the f32 prefix
+sum over V terms carries ~sqrt(V)*2^-24 relative rounding, so a target u
+within ~1e-5 of a CDF boundary can land one token off, and u beyond the
+accumulated total (same magnitude) falls back to the last in-vocab token —
+out-of-nucleus fallbacks are rejected and redrawn by the shared membership
+check, so the residual bias is confined to boundary-rounding inside the
+nucleus. The Gumbel strategy (default) has no such boundary term.
+
 Requires B % 8 == 0, D % 128 == 0, V % vblock == 0 (the padded-vocab layout;
 columns >= v_true are masked out). Callers check ``supported()`` and fall
 back to the XLA path otherwise.
@@ -162,6 +189,158 @@ def _pass_b_kernel(y_ref, w_ref, b_ref, lse_ref, clog_ref, mass_ref,
         mass_ref[:] = acc_scr[:]
 
 
+def _pass_lse_kernel(y_ref, w_ref, b_ref, lse_ref, m_scr, l_scr,
+                     *, v_true, inv_temp):
+    j = pl.program_id(0)
+    nv = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True)
+    m_scr[:] = m_new
+
+    @pl.when(j == nv - 1)
+    def _():
+        lse_ref[:] = m_scr[:] + jnp.log(l_scr[:])
+
+
+def _prefix_sum(x):
+    """In-row inclusive prefix sum via log2(vb) shift-adds (Mosaic has no
+    cumsum lowering; pad/slice/add all lower fine)."""
+    n, vb = x.shape
+    d = 1
+    while d < vb:
+        shifted = jnp.pad(x, ((0, 0), (d, 0)))[:, :vb]
+        x = x + shifted
+        d *= 2
+    return x
+
+
+def _pass_cdf_kernel(y_ref, w_ref, b_ref, lse_ref, t_ref,
+                     idx_ref, clog_ref,
+                     c_scr, bi_scr, bl_scr, ll_scr,
+                     *, v_true, k_cands, inv_temp):
+    """Inverse-CDF candidate draw: candidate k = first vocab index whose
+    running softmax prefix mass reaches target t_k in (0, 1). Sequential
+    grid over vocab blocks; c_scr carries the cumulative mass so far,
+    bi/bl the found index/logit per candidate (-1 = not found yet), ll the
+    fallback logit at the last in-vocab column for targets beyond the f32
+    prefix total."""
+    j = pl.program_id(0)
+    nv = pl.num_programs(0)
+    n = y_ref.shape[0]
+    vb = w_ref.shape[0]
+    jlast = (v_true - 1) // vb        # static: block holding col v_true-1
+
+    @pl.when(j == 0)
+    def _():
+        c_scr[:] = jnp.zeros_like(c_scr)
+        bi_scr[:] = jnp.full_like(bi_scr, -1.0)
+        bl_scr[:] = jnp.full_like(bl_scr, NEG)
+        ll_scr[:] = jnp.full_like(ll_scr, NEG)
+
+    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
+    p = jnp.exp(logits - lse_ref[:])           # masked cols underflow to 0
+    cums = c_scr[:] + _prefix_sum(p)           # [n, vb] running prefix
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
+    for k in range(k_cands):
+        t_k = t_ref[:, k:k + 1]
+        # first in-block index with prefix >= t_k == count of strictly-
+        # below prefixes (cums is nondecreasing); vb means "not here"
+        cnt = jnp.sum((cums < t_k).astype(jnp.float32), axis=1,
+                      keepdims=True)
+        found = (cnt < vb) & (bi_scr[:, k:k + 1] < 0)
+        sel = cols == cnt.astype(jnp.int32)
+        logit_at = jnp.sum(jnp.where(sel, logits, 0.0), axis=1,
+                           keepdims=True)
+        bi_scr[:, k:k + 1] = jnp.where(found, cnt + j * vb,
+                                       bi_scr[:, k:k + 1])
+        bl_scr[:, k:k + 1] = jnp.where(found, logit_at, bl_scr[:, k:k + 1])
+    c_scr[:] = cums[:, -1:]
+
+    @pl.when(j == jlast)
+    def _():
+        c0 = (v_true - 1) - jlast * vb
+        ll_scr[:] = logits[:, c0:c0 + 1]
+
+    @pl.when(j == nv - 1)
+    def _():
+        none = bi_scr[:] < 0
+        idx_ref[:] = jnp.where(none, v_true - 1,
+                               bi_scr[:]).astype(jnp.int32)
+        clog_ref[:] = jnp.where(none, ll_scr[:], bl_scr[:])
+
+
+def _compute_lse(y, w, b, *, v_true, inv_temp, vblock):
+    n, d = y.shape
+    v = w.shape[0]
+    return pl.pallas_call(
+        functools.partial(_pass_lse_kernel, v_true=v_true,
+                          inv_temp=inv_temp),
+        grid=(v // vblock,),
+        in_specs=[
+            pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vblock, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vblock), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+    )(y, w.reshape(v, d), b.reshape(1, v))[0]
+
+
+def _draw_candidates_cdf(y, w, b, lse, targets, *, v_true, k_cands,
+                         inv_temp, vblock):
+    n, d = y.shape
+    v = w.shape[0]
+    return pl.pallas_call(
+        functools.partial(_pass_cdf_kernel, v_true=v_true, k_cands=k_cands,
+                          inv_temp=inv_temp),
+        grid=(v // vblock,),
+        in_specs=[
+            pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vblock, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vblock), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k_cands), jnp.int32),
+            jax.ShapeDtypeStruct((n, k_cands), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, k_cands), jnp.float32),
+            pltpu.VMEM((n, k_cands), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+    )(y, w.reshape(v, d), b.reshape(1, v), lse, targets)
+
+
 def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
     n, d = y.shape
     v = w.shape[0]
@@ -199,10 +378,20 @@ def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
         ],
     )(seed.reshape(1), y, w.reshape(v, d), b.reshape(1, v))
 
-    masses = pl.pallas_call(
+    masses = _candidate_masses(y, w, b, lse, clog, v_true=v_true,
+                               k_cands=k_cands, inv_temp=inv_temp,
+                               vblock=vblock)
+    return idx, masses
+
+
+def _candidate_masses(y, w, b, lse, clog, *, v_true, k_cands, inv_temp,
+                      vblock):
+    n, d = y.shape
+    v = w.shape[0]
+    return pl.pallas_call(
         functools.partial(_pass_b_kernel, v_true=v_true, k_cands=k_cands,
                           inv_temp=inv_temp),
-        grid=grid,
+        grid=(v // vblock,),
         in_specs=[
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vblock, d), lambda j: (j, 0),
@@ -220,11 +409,11 @@ def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
         out_shape=[jax.ShapeDtypeStruct((n, k_cands), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((n, k_cands), jnp.float32)],
     )(y, w.reshape(v, d), b.reshape(1, v), lse, clog)[0]
-    return idx, masses
 
 
 def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
-                       k_cands=4, max_rounds=4, vblock=None):
+                       k_cands=4, max_rounds=4, vblock=None,
+                       strategy="gumbel"):
     """One fused sampling step: y [B, D] f32 hidden states, w [V, D]
     embedding-layout head, b [V], seed int32 scalar -> token [B] int32
     drawn from the renormalized top-p nucleus of softmax(logits/T).
@@ -233,7 +422,13 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     in-nucleus one; rows with no acceptance retry with a fresh seed
     (P(retry) = (1-top_p)^k_cands per row). After ``max_rounds`` the last
     candidate is kept — P <= (1-top_p)^(k_cands*max_rounds) ~ 1e-16 at the
-    defaults, the same residual-bias budget as the XLA rejection path."""
+    defaults, the same residual-bias budget as the XLA rejection path.
+
+    ``strategy``: how a candidate-from-softmax is drawn (module docstring):
+    "gumbel" = in-kernel Gumbel-argmax fields (2 passes over W, per-element
+    noise); "cdf" = inverse-CDF prefix scan (3 passes over W, K scalar
+    uniforms per row, no per-element noise). Same distribution either way;
+    the nucleus acceptance rule and retry loop are shared."""
     n = y.shape[0]
     v_true = v_true or w.shape[0]
     vblock = vblock if vblock else pick_vblock(w.shape[0])
@@ -253,14 +448,33 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
                                seed + jnp.int32(104729 * (s // ROWCHUNK + 1)),
                                top_p, v_true=v_true, temperature=temperature,
                                k_cands=k_cands, max_rounds=max_rounds,
-                               vblock=vblock)
+                               vblock=vblock, strategy=strategy)
             for s in range(0, n, ROWCHUNK)
         ]
         return jnp.concatenate(toks)
 
-    draw = functools.partial(_draw_candidates, y, w, b, v_true=v_true,
-                             k_cands=k_cands, inv_temp=inv_temp,
-                             vblock=vblock)
+    if strategy == "cdf":
+        lse = _compute_lse(y, w, b, v_true=v_true, inv_temp=inv_temp,
+                           vblock=vblock)
+
+        def draw(s):
+            # K scalar targets per row; (0, 1)-open so a zero draw cannot
+            # select a zero-probability leading token
+            u = jax.random.uniform(jax.random.PRNGKey(s), (n, k_cands),
+                                   minval=jnp.float32(1e-7), maxval=1.0)
+            idx, clog = _draw_candidates_cdf(y, w, b, lse, u, v_true=v_true,
+                                             k_cands=k_cands,
+                                             inv_temp=inv_temp,
+                                             vblock=vblock)
+            masses = _candidate_masses(y, w, b, lse, clog, v_true=v_true,
+                                       k_cands=k_cands, inv_temp=inv_temp,
+                                       vblock=vblock)
+            return idx, masses
+    else:
+        assert strategy == "gumbel", strategy
+        draw = functools.partial(_draw_candidates, y, w, b, v_true=v_true,
+                                 k_cands=k_cands, inv_temp=inv_temp,
+                                 vblock=vblock)
 
     def pick(idx, masses):
         ok = masses <= top_p                      # [B, K]

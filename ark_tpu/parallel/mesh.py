@@ -128,7 +128,8 @@ def make_parallel_train_step(model, layout, config, mesh: Mesh,
 
 
 def make_parallel_sampler(model, layout, mesh: Mesh, *, sample=True,
-                          temperature=1.0, top_k=0, top_p=0.0, forced=()):
+                          temperature=1.0, top_k=0, top_p=0.0, forced=(),
+                          fused_strategy="auto"):
     """Data-parallel sampling: the batch axis is sharded over 'data', params
     replicated; the whole generation scan runs SPMD (each chip decodes its
     shard, no cross-chip communication needed). The decode state and token
@@ -142,7 +143,8 @@ def make_parallel_sampler(model, layout, mesh: Mesh, *, sample=True,
     from ark_tpu.sample import make_sampler
 
     base = make_sampler(model, layout, sample=sample, temperature=temperature,
-                        top_k=top_k, top_p=top_p, forced=forced, mesh=mesh)
+                        top_k=top_k, top_p=top_p, forced=forced, mesh=mesh,
+                        fused_strategy=fused_strategy)
     repl = NamedSharding(mesh, P())
 
     def place_params(params):

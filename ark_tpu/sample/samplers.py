@@ -181,7 +181,8 @@ def _force(logits, pos_idx, forced):
 
 
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
-                 top_p=0.0, forced=(), mesh=None, fused="auto"):
+                 top_p=0.0, forced=(), mesh=None, fused="auto",
+                 fused_strategy="auto"):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
@@ -198,6 +199,10 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     without materializing [B, V] logits). 'auto' engages it on TPU for
     pure top-p sampling on large vocabularies when the model exposes
     pre-head decode steps and the shapes meet the kernel constraints.
+
+    ``fused_strategy``: 'auto' | 'gumbel' | 'cdf' — candidate-draw strategy
+    inside the fused kernel (sample_step.py module docstring). 'auto'
+    resolves to the faster measured default.
     """
     st = layout.special_tokens
     bos, eos = st["BOS"], st["EOS"]
@@ -206,6 +211,8 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
 
     if fused == "auto":
         fused = jax.default_backend() not in ("cpu",)
+    if fused_strategy == "auto":
+        fused_strategy = "gumbel"
     fused_model_ok = bool(
         fused and sample and top_p and 0.0 < top_p < 1.0 and not top_k
         and not forced and model.decode_step_features is not None
@@ -241,7 +248,8 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                 call = functools.partial(
                     fused_top_p_sample, top_p=float(top_p),
                     v_true=layout.vocab_size,
-                    temperature=float(temperature) if temperature else 1.0)
+                    temperature=float(temperature) if temperature else 1.0,
+                    strategy=fused_strategy)
                 if mesh is not None and nd > 1:
                     from jax.sharding import PartitionSpec as P
 

@@ -166,7 +166,9 @@ class SamplerBank:
                 self.model, self.layout, sample=True,
                 temperature=self.config.get("temperature", 1.0),
                 top_p=self.config.get("top_p", 0.9),
-                top_k=self.config.get("top_k", 0), mesh=self.mesh)
+                top_k=self.config.get("top_k", 0), mesh=self.mesh,
+                fused_strategy=self.config.get("fused_sample_strategy",
+                                               "auto"))
             base, chunk = self._lm_sampler, self.chunk
 
             @functools.partial(jax.jit, static_argnums=(2,))

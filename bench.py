@@ -122,6 +122,10 @@ def measure_tpu(cfg, bundle, model):
     scfg = dict(cfg, sample_chunk=SAMPLE_BATCH)
     if sample_dtype and sample_dtype != DTYPE:
         scfg["sample_dtype"] = sample_dtype
+    _sstrat = os.environ.get("ARK_TPU_BENCH_SAMPLE_STRATEGY", "")
+    if _sstrat:
+        # fused-kernel candidate strategy: "gumbel" | "cdf" (sample_step.py)
+        scfg["fused_sample_strategy"] = _sstrat
     # the production sampling path (SamplerBank.sample_sequences): all chunks
     # of the request run on-device in one dispatch (lax.scan over chunks),
     # one host fetch per call — the measured number is device-bound, not

@@ -79,6 +79,62 @@ def test_row_chunking_matches_single_call():
     np.testing.assert_array_equal(got, want)
 
 
+def test_cdf_tokens_in_nucleus_and_distribution():
+    """strategy='cdf' draws its targets from jax.random OUTSIDE the kernel,
+    so interpret mode exercises the REAL sampling distribution on CPU
+    (unlike the Gumbel strategy, whose interpret-mode PRNG is all-zero):
+    every sampled token must be in the top-p nucleus, and the empirical
+    distribution over many iid rows must match the renormalized nucleus."""
+    rng = np.random.default_rng(3)
+    b, d, v = 512, 128, 128
+    y1 = (rng.normal(size=(1, d)) * 0.12).astype(np.float32)
+    y = jnp.asarray(np.repeat(y1, b, 0))
+    w = jnp.asarray((rng.normal(size=(v, d)) * 0.12).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(v,)) * 0.3).astype(np.float32))
+    logits = np.asarray(y1 @ np.asarray(w).T + np.asarray(bias))[0]
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    order = np.argsort(-p)
+    cdf = np.cumsum(p[order])
+    ncut = np.searchsorted(cdf, 0.9, side="left") + 1  # crossing token kept
+    nucleus = np.zeros(v, bool)
+    nucleus[order[:ncut]] = True
+    pn = np.where(nucleus, p, 0.0)
+    pn /= pn.sum()
+    assert 50 < ncut < v  # the construction gives a wide, nontrivial nucleus
+
+    counts = np.zeros(v)
+    n_draws = 0
+    with pltpu.force_tpu_interpret_mode():
+        for s in range(8):
+            tok = np.asarray(fused_top_p_sample(
+                y, w, bias, jnp.int32(1000 + s), 0.9, strategy="cdf"))
+            np.add.at(counts, tok, 1)
+            n_draws += b
+    assert counts[~nucleus].sum() == 0  # rejection rule: never off-nucleus
+    tv = 0.5 * np.abs(counts / n_draws - pn).sum()
+    # ~0.05 expected from sampling noise at 4096 draws over ~106 tokens
+    assert tv < 0.12, tv
+
+
+def test_cdf_vocab_masking_and_row_chunking():
+    import ark_tpu.ops.pallas.sample_step as ss
+
+    y, w, bias = _data(2, b=48)
+    v_true = 500
+    orig = ss.ROWCHUNK
+    try:
+        ss.ROWCHUNK = 16  # force 3 chunks through the recursion
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(5),
+                                                0.9, v_true=v_true,
+                                                vblock=VB, strategy="cdf"))
+    finally:
+        ss.ROWCHUNK = orig
+    assert got.shape == (48,)
+    assert (got >= 0).all() and (got < v_true).all()
+
+
 @pytest.mark.parametrize("mt", ["ARK", "t-ARK"])
 def test_sampler_fused_path_runs_end_to_end(mt):
     """make_sampler(fused=True) in interpret mode == the greedy sampler
@@ -104,3 +160,35 @@ def test_sampler_fused_path_runs_end_to_end(mt):
         got = np.asarray(fused_sampler(params, jax.random.key(1), 8))
     want = np.asarray(greedy(params, jax.random.key(1), 8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sampler_cdf_strategy_end_to_end():
+    """fused_strategy='cdf' through the full generation scan: real sampling
+    in interpret mode — check the sequence contract (BOS start, in-vocab
+    tokens, per-row EOS freeze) rather than a greedy-degeneracy match."""
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.sample import make_sampler
+
+    layout = build_vocab_layout(5000, 4, 2, 2, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=8, vocab_pad_multiple=128, tie_weights=True,
+               use_pallas_gru=False)
+    m = build_model(cfg)
+    params = m.init(jax.random.key(0))
+    sampler = make_sampler(m, layout, sample=True, top_p=0.9, fused=True,
+                           fused_strategy="cdf")
+    with pltpu.force_tpu_interpret_mode():
+        seq = np.asarray(sampler(params, jax.random.key(1), 8))
+    st = layout.special_tokens
+    assert seq.shape == (8, layout.seq_len)
+    assert (seq[:, 0] == st["BOS"]).all()
+    assert (seq >= 0).all() and (seq < layout.vocab_size).all()
+    eos = st["EOS"]
+    for row in seq:
+        hits = np.flatnonzero(row == eos)
+        if hits.size:  # after the first EOS the row is frozen to EOS
+            assert (row[hits[0]:] == eos).all()
