@@ -254,3 +254,20 @@ def test_sampler_bank_multi_chunk_matches_host_loop(mt):
         want = np.concatenate(outs)[:20]
     assert got.shape == (20, LAYOUT.seq_len)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sampler_bank_device_variant_is_bitwise_and_unfetched():
+    """sample_sequences_device (the serving pipelining hook) returns a jax
+    device array with bitwise the tokens of sample_sequences for the same
+    rng — overlapping fetches must not change what is sampled."""
+    from ark_tpu.train.loop import SamplerBank
+
+    m, params = _model("ARK")
+    cfg = dict(BASE, model_type="ARK", sample_chunk=8, temperature=1.0,
+               top_p=0.9, top_k=0)
+    bank = SamplerBank(m, LAYOUT, cfg, chunk=8)
+    rng = jax.random.key(7)
+    dev = bank.sample_sequences_device(params, rng, 20)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(
+        np.asarray(dev), bank.sample_sequences(params, rng, 20))
