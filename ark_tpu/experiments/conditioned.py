@@ -121,7 +121,9 @@ def conditional_generate(model, kind, cfg, layout, params,
                          or (temperature and temperature != 1.0))
         sampler = make_sampler(model, layout, sample=do_sample,
                                temperature=temperature, top_p=top_p,
-                               top_k=top_k, forced=forced)
+                               top_k=top_k, forced=forced,
+                               fused_strategy=cfg.get(
+                                   "fused_sample_strategy", "auto"))
         return sampler(params, rng, num_samples)
     rng, kz, ks = jax.random.split(rng, 3)
     z = jax.random.normal(kz, (num_samples, cfg["d_latent"]))

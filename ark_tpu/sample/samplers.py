@@ -199,6 +199,8 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     without materializing [B, V] logits). 'auto' engages it on TPU for
     pure top-p sampling on large vocabularies when the model exposes
     pre-head decode steps and the shapes meet the kernel constraints.
+    Forced (position, token) pairs ride the fused path too: the sampled
+    token is overridden post-draw, which equals the logits mask exactly.
 
     ``fused_strategy``: 'auto' | 'gumbel' | 'cdf' — candidate-draw strategy
     inside the fused kernel (sample_step.py module docstring). 'auto'
@@ -215,7 +217,7 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
         fused_strategy = "gumbel"
     fused_model_ok = bool(
         fused and sample and top_p and 0.0 < top_p < 1.0 and not top_k
-        and not forced and model.decode_step_features is not None
+        and model.decode_step_features is not None
         and model.head is not None and layout.vocab_size > 4096)
 
     if mesh is not None:
@@ -274,6 +276,13 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                 y, state = model.decode_step_features(params, state, token, t)
                 state = _pin(state)
                 nxt = fused_draw(y.astype(jnp.float32), k)
+                # forced positions: overriding the sampled token is exactly
+                # the one-hot(-inf elsewhere) logits mask of _force — the
+                # forced token has probability 1 either way (the conditioned
+                # generation mechanism, reference conditioned.py:73-76)
+                for position, token_id in forced:
+                    nxt = jnp.where(t + 1 == position, jnp.int32(token_id),
+                                    nxt)
             else:
                 logits, state = model.decode_step(params, state, token, t)
                 state = _pin(state)

@@ -162,6 +162,40 @@ def test_sampler_fused_path_runs_end_to_end(mt):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sampler_fused_forced_tokens_match_xla_path():
+    """Forced (position, token) pairs ride the fused path: post-draw
+    override == the _force logits mask. In interpret mode the Gumbel
+    kernel degenerates to argmax, so fused+forced must equal the XLA
+    greedy sampler with the same forced pairs (the conditioned-generation
+    mechanism, reference conditioned.py:73-76)."""
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.sample import make_sampler
+
+    layout = build_vocab_layout(5000, 4, 2, 2, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=8, vocab_pad_multiple=128, tie_weights=True,
+               use_pallas_gru=False)
+    m = build_model(cfg)
+    params = m.init(jax.random.key(0))
+    rel_id, ent_id = 23, 17  # any in-vocab ids: the override is unconditional
+    forced = ((2, rel_id), (3, ent_id))
+    fused_sampler = make_sampler(m, layout, sample=True, top_p=0.9,
+                                 fused=True, forced=forced)
+    greedy = make_sampler(m, layout, sample=False, fused=False,
+                          forced=forced)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_sampler(params, jax.random.key(1), 8))
+    want = np.asarray(greedy(params, jax.random.key(1), 8))
+    np.testing.assert_array_equal(got, want)
+    live = want[:, 1] != layout.special_tokens["EOS"]  # EOS freeze wins
+    assert (got[live, 2] == rel_id).all() and (got[live, 3] == ent_id).all()
+    assert live.any()
+
+
 def test_sampler_cdf_strategy_end_to_end():
     """fused_strategy='cdf' through the full generation scan: real sampling
     in interpret mode — check the sequence contract (BOS start, in-vocab
