@@ -114,6 +114,25 @@ def _uniform_from_bits(bits):
     return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 1.0 / (1 << 25)
 
 
+def _flash_lse_init(m_scr, l_scr):
+    m_scr[:] = jnp.full_like(m_scr, NEG)
+    l_scr[:] = jnp.zeros_like(l_scr)
+
+
+def _flash_lse_update(m_scr, l_scr, logits):
+    """One streaming log-sum-exp block update (the single spec both the
+    Gumbel pass A and the CDF LSE pass must match)."""
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True)
+    m_scr[:] = m_new
+
+
+def _flash_lse_final(m_scr, l_scr):
+    return m_scr[:] + jnp.log(l_scr[:])
+
+
 def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
                    lse_ref, idx_ref, clog_ref,
                    m_scr, l_scr, bg_scr, bi_scr, bl_scr,
@@ -125,20 +144,13 @@ def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
 
     @pl.when(j == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        _flash_lse_init(m_scr, l_scr)
         bg_scr[:] = jnp.full_like(bg_scr, NEG)
         bi_scr[:] = jnp.zeros_like(bi_scr)
         bl_scr[:] = jnp.full_like(bl_scr, NEG)
 
     logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
-
-    # flash log-sum-exp
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-        jnp.exp(logits - m_new), axis=1, keepdims=True)
-    m_scr[:] = m_new
+    _flash_lse_update(m_scr, l_scr, logits)
 
     # K independent Gumbel-argmax candidates
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
@@ -163,7 +175,7 @@ def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
 
     @pl.when(j == nv - 1)
     def _():
-        lse_ref[:] = m_scr[:] + jnp.log(l_scr[:])
+        lse_ref[:] = _flash_lse_final(m_scr, l_scr)
         idx_ref[:] = bi_scr[:].astype(jnp.int32)
         clog_ref[:] = bl_scr[:]
 
@@ -196,19 +208,14 @@ def _pass_lse_kernel(y_ref, w_ref, b_ref, lse_ref, m_scr, l_scr,
 
     @pl.when(j == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        _flash_lse_init(m_scr, l_scr)
 
     logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-        jnp.exp(logits - m_new), axis=1, keepdims=True)
-    m_scr[:] = m_new
+    _flash_lse_update(m_scr, l_scr, logits)
 
     @pl.when(j == nv - 1)
     def _():
-        lse_ref[:] = m_scr[:] + jnp.log(l_scr[:])
+        lse_ref[:] = _flash_lse_final(m_scr, l_scr)
 
 
 def _prefix_sum(x):
@@ -254,10 +261,16 @@ def _pass_cdf_kernel(y_ref, w_ref, b_ref, lse_ref, t_ref,
     for k in range(k_cands):
         t_k = t_ref[:, k:k + 1]
         # first in-block index with prefix >= t_k == count of strictly-
-        # below prefixes (cums is nondecreasing); vb means "not here"
+        # below prefixes (cums is nondecreasing); vb means "not here".
+        # The in-vocab guard matters: masked cols carry p == 0, but the
+        # shift-add prefix associates the SAME summands differently per
+        # column, so a masked col's prefix can round ABOVE the in-vocab
+        # total — a target within ~2^-24 of the total must fall through to
+        # the v_true-1 fallback, never select a masked column.
         cnt = jnp.sum((cums < t_k).astype(jnp.float32), axis=1,
                       keepdims=True)
-        found = (cnt < vb) & (bi_scr[:, k:k + 1] < 0)
+        found = ((cnt < vb) & (cnt + j * vb < v_true)
+                 & (bi_scr[:, k:k + 1] < 0))
         sel = cols == cnt.astype(jnp.int32)
         logit_at = jnp.sum(jnp.where(sel, logits, 0.0), axis=1,
                            keepdims=True)
@@ -429,6 +442,9 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     noise); "cdf" = inverse-CDF prefix scan (3 passes over W, K scalar
     uniforms per row, no per-element noise). Same distribution either way;
     the nucleus acceptance rule and retry loop are shared."""
+    if strategy not in ("gumbel", "cdf"):
+        raise ValueError(
+            f"strategy must be 'gumbel' or 'cdf', got {strategy!r}")
     n = y.shape[0]
     v_true = v_true or w.shape[0]
     vblock = vblock if vblock else pick_vblock(w.shape[0])
@@ -471,7 +487,6 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
                                        vblock=vblock)
             return idx, masses
     else:
-        assert strategy == "gumbel", strategy
         draw = functools.partial(_draw_candidates, y, w, b, v_true=v_true,
                                  k_cands=k_cands, inv_temp=inv_temp,
                                  vblock=vblock)

@@ -251,6 +251,9 @@ def main():
         "unit": "graphs/sec/chip",
         "vs_baseline": round(train_gps / baseline["train_graphs_per_sec"], 2),
         "sample_graphs_per_sec_chip": round(sample_gps, 1),
+        # the headline is pipelined x4 as of round 3 (fetches overlap device
+        # compute); earlier rounds' lines under the same key were serial
+        "sample_mode": "pipelined_x4",
         "sample_single_request_graphs_per_sec": round(sample_req_gps, 1),
         "sample_vs_baseline": round(
             sample_gps / baseline["sample_graphs_per_sec"], 2),

@@ -79,6 +79,104 @@ def test_row_chunking_matches_single_call():
     np.testing.assert_array_equal(got, want)
 
 
+def test_cdf_kernel_matches_pure_jax_mirror_bitwise():
+    """Exact equivalence for the CDF kernels (the repo invariant: every
+    Pallas kernel has an interpret-mode equivalence test against a pure
+    spec). The mirror repeats the kernel's op order exactly — per-block
+    dot_general, flash-LSE, Hillis-Steele prefix — so lse/idx/clog must be
+    BITWISE equal, for random targets, for a target placed exactly ON a CDF
+    prefix value (pinning the strictly-below count rule: first index whose
+    prefix reaches u), and for a target beyond the f32 prefix total
+    (pinning the last-in-vocab fallback)."""
+    import ark_tpu.ops.pallas.sample_step as ss
+
+    b, d, v, vb, v_true, k = 16, 128, 512, 128, 500, 4
+    y, w, bias = _data(9, b=b)
+    inv_temp = 1.0
+
+    def block_logits(j):
+        wj = w[j * vb:(j + 1) * vb]
+        lg = jax.lax.dot_general(y, wj, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        lg = (lg + bias[j * vb:(j + 1) * vb].reshape(1, vb)) * inv_temp
+        cols_g = jax.lax.broadcasted_iota(jnp.int32, (b, vb), 1) + j * vb
+        return jnp.where(cols_g < v_true, lg, ss.NEG)
+
+    # mirror LSE (flash accumulation in block order)
+    m = jnp.full((b, 1), ss.NEG)
+    l = jnp.zeros((b, 1))
+    for j in range(v // vb):
+        lg = block_logits(j)
+        m_new = jnp.maximum(m, jnp.max(lg, axis=1, keepdims=True))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(lg - m_new), axis=1,
+                                             keepdims=True)
+        m = m_new
+    lse_mirror = m + jnp.log(l)
+
+    # mirror prefix masses (Hillis-Steele per block + carried total)
+    def hs_prefix(x):
+        dd = 1
+        while dd < vb:
+            x = x + jnp.pad(x, ((0, 0), (dd, 0)))[:, :vb]
+            dd *= 2
+        return x
+
+    carry = jnp.zeros((b, 1))
+    cums_blocks, logit_blocks = [], []
+    for j in range(v // vb):
+        lg = block_logits(j)
+        cums = carry + hs_prefix(jnp.exp(lg - lse_mirror))
+        cums_blocks.append(np.asarray(cums))
+        logit_blocks.append(np.asarray(lg))
+        carry = cums[:, -1:]
+    cums_all = np.concatenate(cums_blocks, axis=1)    # [b, v]
+    logits_all = np.concatenate(logit_blocks, axis=1)
+
+    # targets: [random, exactly-on-a-prefix-value, beyond-total, random]
+    rng = np.random.default_rng(11)
+    u = rng.uniform(0.05, 0.95, size=(b, k)).astype(np.float32)
+    mid = cums_all[:, 250].astype(np.float32)         # strictly inside
+    u[:, 1] = mid
+    u[:, 2] = np.nextafter(cums_all[:, v_true - 1].astype(np.float32),
+                           np.float32(2.0))           # beyond f32 total
+
+    def mirror_draw(uu):
+        """Per-block count-of-strictly-below with the kernel's in-vocab
+        guard: the first block whose count stays inside BOTH the block and
+        the true vocab wins; no block -> the v_true-1 fallback."""
+        idx = np.empty((b, k), np.int32)
+        clog = np.empty((b, k), np.float32)
+        for i in range(b):
+            for c in range(k):
+                bi = -1
+                for j in range(v // vb):
+                    cnt = int(np.sum(cums_blocks[j][i] < uu[i, c]))
+                    if bi < 0 and cnt < vb and j * vb + cnt < v_true:
+                        bi = j * vb + cnt
+                if bi < 0:
+                    idx[i, c] = v_true - 1
+                    clog[i, c] = logits_all[i, v_true - 1]
+                else:
+                    idx[i, c] = bi
+                    clog[i, c] = logits_all[i, bi]
+        return idx, clog
+
+    want_idx, want_clog = mirror_draw(u)
+    with pltpu.force_tpu_interpret_mode():
+        lse = np.asarray(ss._compute_lse(y, w, bias, v_true=v_true,
+                                         inv_temp=inv_temp, vblock=vb))
+        got_idx, got_clog = ss._draw_candidates_cdf(
+            y, w, bias, jnp.asarray(lse), jnp.asarray(u), v_true=v_true,
+            k_cands=k, inv_temp=inv_temp, vblock=vb)
+    np.testing.assert_array_equal(lse, np.asarray(lse_mirror))
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+    np.testing.assert_array_equal(np.asarray(got_clog), want_clog)
+    # the on-a-boundary column really exercised the >= rule: u == cums[250]
+    assert (want_idx[:, 1] == 250).all()
+    # and the beyond-total column really fell back
+    assert (want_idx[:, 2] == v_true - 1).all()
+
+
 def test_cdf_tokens_in_nucleus_and_distribution():
     """strategy='cdf' draws its targets from jax.random OUTSIDE the kernel,
     so interpret mode exercises the REAL sampling distribution on CPU
