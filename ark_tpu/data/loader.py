@@ -59,6 +59,24 @@ def _write_split(path: Path, graphs) -> str:
     return h.hexdigest()
 
 
+def _count_graphs(path) -> int:
+    """Count (and format-check) the graphs in one split file: tab-separated
+    triples, blank-line graph separators — the IntelliGraphs tsv layout."""
+    n, cur = 0, 0
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                if cur:
+                    n += 1
+                    cur = 0
+                continue
+            if len(line.split("\t")) != 3:
+                raise ValueError(f"Malformed triple line in {path!r}: {line!r}")
+            cur += 1
+    return n + (1 if cur else 0)
+
+
 def parse_files_to_subgraphs(train_file, valid_file, test_file, split_tab=True):
     """Parse tsv files into label-level graphs (reference contract:
     interpolation.py:94-95). ``split_tab=True`` splits lines on tabs;
@@ -114,6 +132,14 @@ class DatasetDownloader:
     def download_dataset(self, name: str, sizes=None) -> None:
         d = _dataset_dir(name)
         d.mkdir(parents=True, exist_ok=True)
+        # Bring-your-own data: if the split files are already on disk (e.g.
+        # the REAL IntelliGraphs tsv exports copied in by the user) but no
+        # meta.json marks them as ours, ADOPT them — never overwrite user
+        # data with generated surrogates.
+        existing = [Path(p) for p in get_file_paths(name)]
+        if all(p.exists() for p in existing) and not self._meta_path(name).exists():
+            self._adopt_external(name, existing)
+            return
         splits = generate_splits(name, sizes=sizes)
         checksums = {}
         for split_name, graphs in zip(_SPLITS, splits):
@@ -127,10 +153,34 @@ class DatasetDownloader:
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f, indent=2)
 
+    def _adopt_external(self, name: str, paths) -> None:
+        """Register user-provided split files (checksums so later
+        ``verify_datasets`` guards their integrity like generated ones)."""
+        counts = {}
+        for split, path in zip(_SPLITS, paths):
+            graphs = _count_graphs(path)
+            if graphs == 0:
+                raise ValueError(
+                    f"External dataset file {path} contains no graphs "
+                    "(expected tab-separated triples, blank-line-separated "
+                    "graphs)")
+            counts[split] = graphs
+        meta = {
+            "dataset": name,
+            "splits": counts,
+            "sha256": {s: hashlib.sha256(p.read_bytes()).hexdigest()
+                       for s, p in zip(_SPLITS, paths)},
+            "source": "external",
+        }
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta, f, indent=2)
+        print(f"[ark_tpu.data] adopted external data for {name} "
+              f"({counts['train']}/{counts['valid']}/{counts['test']} graphs)")
+
     def download_and_verify_all(self) -> None:
         for name in self.names:
             if not self._meta_path(name).exists():
-                print(f"[ark_tpu.data] generating dataset {name} ...")
+                print(f"[ark_tpu.data] materializing dataset {name} ...")
                 self.download_dataset(name)
         self.verify_datasets()
 

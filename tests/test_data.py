@@ -115,3 +115,61 @@ def test_deterministic_generation(small_datasets):
     a = generate_splits("syn-paths", sizes=(50, 10, 10))
     b = generate_splits("syn-paths", sizes=(50, 10, 10))
     assert a == b
+
+
+def test_external_data_adopted_not_overwritten(tmp_path, monkeypatch):
+    """Bring-your-own data: real IntelliGraphs tsv files dropped into the
+    data dir must be ADOPTED (checksummed into meta.json), never silently
+    replaced by generated surrogates (loader.py::download_dataset)."""
+    from ark_tpu.data import loader
+
+    monkeypatch.setenv("ARK_TPU_DATA_DIR", str(tmp_path))
+    d = tmp_path / "syn-paths"
+    d.mkdir()
+    graphs = {
+        "train": [[("amsterdam", "drive_to", "utrecht"),
+                   ("utrecht", "cycle_to", "gouda")],
+                  [("gouda", "train_to", "delft")]],
+        "valid": [[("delft", "drive_to", "leiden")]],
+        "test": [[("leiden", "cycle_to", "haarlem")]],
+    }
+    for split, gs in graphs.items():
+        # graphs separated by blank lines (IntelliGraphs tsv layout)
+        (d / f"{split}.tsv").write_text(
+            "\n\n".join("\n".join("\t".join(t) for t in g) for g in gs)
+            + "\n")
+    before = {s: (d / f"{s}.tsv").read_bytes() for s in graphs}
+
+    train_g, val_g, test_g, (e2i, _), (r2i, _), (mn, mx), _ = (
+        loader.load_data_as_list("syn-paths"))
+    # files untouched, meta marks external, integrity check passes
+    after = {s: (d / f"{s}.tsv").read_bytes() for s in graphs}
+    assert after == before
+    import json as _json
+    meta = _json.loads((d / "meta.json").read_text())
+    assert meta["source"] == "external"
+    assert meta["splits"] == {"train": 2, "valid": 1, "test": 1}
+    assert loader.DatasetDownloader(names=["syn-paths"]).verify_datasets()
+    # the returned graphs are the user's, not surrogates
+    assert len(train_g) == 2 and len(val_g) == 1 and len(test_g) == 1
+    assert (mn, mx) == (1, 2)
+    assert set(r2i) == {"drive_to", "cycle_to", "train_to"}
+    assert set(e2i) == {"amsterdam", "utrecht", "gouda", "delft",
+                        "leiden", "haarlem"}
+    # second load is stable (no regeneration)
+    again = loader.load_data_as_list("syn-paths")
+    assert again[0] == train_g
+
+
+def test_external_data_malformed_rejected(tmp_path, monkeypatch):
+    from ark_tpu.data import loader
+
+    monkeypatch.setenv("ARK_TPU_DATA_DIR", str(tmp_path))
+    d = tmp_path / "syn-paths"
+    d.mkdir()
+    (d / "train.tsv").write_text("a\tdrive_to\tb\n\nnot a triple\n")
+    (d / "valid.tsv").write_text("a\tdrive_to\tb\n")
+    (d / "test.tsv").write_text("a\tdrive_to\tb\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Malformed triple line"):
+        loader.ensure_dataset("syn-paths")
