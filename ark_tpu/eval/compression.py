@@ -27,43 +27,96 @@ from ark_tpu.ops.losses import LN2, token_nll
 _BITS_CACHE: dict = {}
 
 
-def _make_bits_fn(model, pad_id):
-    key = (id(model), pad_id)
+def _make_bits_fn(model, pad_id, mesh=None, shard_vocab=False):
+    key = (id(model), pad_id, id(mesh), bool(shard_vocab))
     if key in _BITS_CACHE:
         return _BITS_CACHE[key]
-    fn = _build_bits_fn(model, pad_id)
+    fn = _build_bits_fn(model, pad_id, mesh, shard_vocab)
     _BITS_CACHE[key] = fn
     return fn
 
 
-def _build_bits_fn(model, pad_id):
+def _build_bits_fn(model, pad_id, mesh=None, shard_vocab=False):
+    nd = 1 if mesh is None else dict(mesh.shape).get("data", 1)
+    nm = 1 if mesh is None else dict(mesh.shape).get("model", 1)
+    vocab_sharded = bool(shard_vocab and nm > 1)
+
+    def _v_pad():
+        mult = int(model.config.get("vocab_pad_multiple", 1))
+        return -(-int(model.config["vocab_size"]) // mult) * mult
+
     def _use_fused(seq):
         """The fused per-row NLL kernel (ops/pallas/logit_ce.py) never
         materializes the [B*L, V] logits the XLA path round-trips through
         HBM (~5 GB per 256-graph batch on wd-articles). Same numbers —
-        both are exact f32 NLL (tests/test_pallas_ce.py)."""
+        both are exact f32 NLL (tests/test_pallas_ce.py). The flag follows
+        the trainer's use_fused_ce semantics ('auto' = TPU only; True
+        forces, e.g. interpret-mode tests)."""
         if model.features is None or model.head is None:
             return False
-        if jax.default_backend() in ("cpu",):
+        flag = model.config.get("use_fused_ce", "auto")
+        if flag == "auto":
+            if jax.default_backend() in ("cpu",):
+                return False
+        elif not flag:
             return False
         from ark_tpu.ops.pallas.logit_ce import supported
 
-        n = seq.shape[0] * (seq.shape[1] - 1)
-        d = int(model.config["d_model"])
-        mult = int(model.config.get("vocab_pad_multiple", 1))
-        v_pad = -(-int(model.config["vocab_size"]) // mult) * mult
-        return supported(n, d, v_pad)
+        bsz, lm1 = seq.shape[0], seq.shape[1] - 1
+        if bsz % nd != 0:
+            return False
+        v_pad = _v_pad()
+        if vocab_sharded and v_pad % nm != 0:
+            return False
+        return supported((bsz // nd) * lm1, int(model.config["d_model"]),
+                         v_pad // nm if vocab_sharded else v_pad)
 
     def _ar_bits_fused(params, y, seq):
-        from ark_tpu.ops.pallas.logit_ce import fused_ce_nll_rows
+        """Per-graph AR bits via the fused kernel. Under a mesh the kernel
+        runs per shard via shard_map (Mosaic custom calls are not
+        GSPMD-partitionable): batch rows split over 'data'; with a
+        vocab-sharded head each device additionally streams only its
+        V/n_model slice and the per-row (logsumexp, target-logit)
+        statistics merge over 'model' (round-3 VERDICT item 6 — no silent
+        all-gather of the ~120 MB wd-articles head during compression
+        eval)."""
+        from ark_tpu.ops.pallas.logit_ce import (fused_ce_lse_t_rows,
+                                                 fused_ce_nll_rows)
 
         w, b = model.head(params)
         bsz, lm1 = seq.shape[0], seq.shape[1] - 1
-        nll = fused_ce_nll_rows(
-            y.reshape(bsz * lm1, -1).astype(jnp.float32),
-            w.astype(jnp.float32), b.astype(jnp.float32),
-            seq[:, 1:].reshape(-1).astype(jnp.int32), pad_id,
-            int(model.config["vocab_size"])).reshape(bsz, lm1)
+        v_true = int(model.config["vocab_size"])
+        tgt = seq[:, 1:].astype(jnp.int32)
+
+        def rows_local(y, w, b, tgt):
+            x = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
+            t = tgt.reshape(-1)
+            wf, bf = w.astype(jnp.float32), b.astype(jnp.float32)
+            if vocab_sharded:
+                ofs = (jax.lax.axis_index("model") * w.shape[0]
+                       ).astype(jnp.int32)
+                lse_s, t_s = fused_ce_lse_t_rows(x, wf, bf, t, pad_id,
+                                                 v_true, ofs)
+                m = jax.lax.pmax(lse_s, "model")
+                lse = m + jnp.log(
+                    jax.lax.psum(jnp.exp(lse_s - m), "model"))
+                nll = lse - jax.lax.psum(t_s, "model")
+            else:
+                nll = fused_ce_nll_rows(x, wf, bf, t, pad_id, v_true)
+            return nll.reshape(tgt.shape)
+
+        if mesh is not None and (nd > 1 or vocab_sharded):
+            from jax.sharding import PartitionSpec as P
+
+            wspec = P("model", None) if vocab_sharded else P()
+            bspec = P("model") if vocab_sharded else P()
+            nll = jax.shard_map(
+                rows_local, mesh=mesh,
+                in_specs=(P("data", None, None), wspec, bspec,
+                          P("data", None)),
+                out_specs=P("data", None), check_vma=False)(y, w, b, tgt)
+        else:
+            nll = rows_local(y, w, b, tgt)
         mask = (seq[:, 1:] != pad_id).astype(jnp.float32)
         return jnp.sum(nll * mask, axis=1) / LN2
 
@@ -112,9 +165,15 @@ def _build_bits_fn(model, pad_id):
 
 
 def posterior_bits(model, params, data, layout, *, sample_frac=0.1, rng=None,
-                   batch_size=256, desc="posterior bits"):
+                   batch_size=256, desc="posterior bits", mesh=None,
+                   shard_vocab=False):
     """Returns the reference stats dict (models.py:511-520): avg_total_bits /
-    avg_ar_bits / avg_kl_bits / min_total_bits / max_total_bits / records."""
+    avg_ar_bits / avg_kl_bits / min_total_bits / max_total_bits / records.
+
+    With ``mesh``, batches are placed over the 'data' axis and the fused
+    per-row NLL kernel runs per shard (with ``shard_vocab``, per vocab
+    shard with a cross-shard logsumexp merge) — the same numbers as the
+    single-device path (tests/test_parallel.py)."""
     pad_id = layout.special_tokens["PAD"]
     n = max(1, int(sample_frac * len(data)))
     sub = data.subset(n)
@@ -130,10 +189,16 @@ def posterior_bits(model, params, data, layout, *, sample_frac=0.1, rng=None,
                         layout=layout)
     if rng is None:
         rng = jax.random.key(0)
-    bits_fn = _make_bits_fn(model, pad_id)
+    bits_fn = _make_bits_fn(model, pad_id, mesh, shard_vocab)
+    if mesh is not None:
+        from ark_tpu.parallel import place_batch
 
     ar_all, kl_all = [], []
     bs = min(batch_size, n)
+    if mesh is not None:
+        # the batch splits over 'data' (padded rows are PAD-masked anyway)
+        nd = dict(mesh.shape).get("data", 1)
+        bs = ((bs + nd - 1) // nd) * nd
     for start in range(0, n, bs):
         stop = min(start + bs, n)
         take = stop - start
@@ -143,6 +208,8 @@ def posterior_bits(model, params, data, layout, *, sample_frac=0.1, rng=None,
         tr[:take] = sub.triples[start:stop]
         sq[:take] = sub.seq[start:stop]
         rng, k = jax.random.split(rng)
+        if mesh is not None:
+            tr, sq = place_batch(tr, mesh), place_batch(sq, mesh)
         ar, kl = bits_fn(params, jnp.asarray(tr), jnp.asarray(sq), k)
         ar_all.append(np.asarray(ar)[:take])
         kl_all.append(np.asarray(kl)[:take])

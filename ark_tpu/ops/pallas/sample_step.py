@@ -95,14 +95,18 @@ def supported(b, d, v, vblock=None):
     return b % 8 == 0 and d % 128 == 0 and vb > 0 and v % vb == 0
 
 
-def _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true):
+def _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs=0):
+    """``ofs``: this call's GLOBAL column offset — 0 for a full-vocab call;
+    axis_index('model') * V_shard when the head is vocab-sharded and each
+    device streams only its W slice (fused_top_p_sample_sharded). The
+    v_true mask is evaluated in global column coordinates."""
     n = y_ref.shape[0]
     vb = w_ref.shape[0]
     logits = jax.lax.dot_general(
         y_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     logits = (logits + b_ref[0, :].reshape(1, vb)) * inv_temp
-    cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb + ofs
     return jnp.where(cols_g < v_true, logits, NEG)
 
 
@@ -133,14 +137,23 @@ def _flash_lse_final(m_scr, l_scr):
     return m_scr[:] + jnp.log(l_scr[:])
 
 
-def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
-                   lse_ref, idx_ref, clog_ref,
+def _pass_a_kernel(seed_ref, ofs_ref, y_ref, w_ref, b_ref,
+                   lse_ref, idx_ref, clog_ref, bg_ref,
                    m_scr, l_scr, bg_scr, bi_scr, bl_scr,
                    *, v_true, k_cands, inv_temp):
+    """``ofs_ref`` (SMEM): this call's GLOBAL column offset (0 full-vocab;
+    axis_index('model') * V_shard when vocab-sharded). Candidate ids are
+    GLOBAL, the per-block Gumbel seed folds the GLOBAL block index — so a
+    sharded call draws bit-identical noise to the same blocks of an
+    unsharded call and the cross-shard pmax merge reproduces the unsharded
+    winner exactly. ``bg_ref`` additionally returns the best Gumbel score
+    per candidate (the cross-shard merge key; unsharded callers ignore it).
+    """
     j = pl.program_id(0)
     nv = pl.num_programs(0)
     n = y_ref.shape[0]
     vb = w_ref.shape[0]
+    ofs = ofs_ref[0]
 
     @pl.when(j == 0)
     def _():
@@ -149,15 +162,15 @@ def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
         bi_scr[:] = jnp.zeros_like(bi_scr)
         bl_scr[:] = jnp.full_like(bl_scr, NEG)
 
-    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
+    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs)
     _flash_lse_update(m_scr, l_scr, logits)
 
     # K independent Gumbel-argmax candidates
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
     for k in range(k_cands):
-        # at most 2 seed scalars are supported; fold (block, candidate)
-        # into the second
-        pltpu.prng_seed(seed_ref[0], j * k_cands + k)
+        # at most 2 seed scalars are supported; fold (GLOBAL block,
+        # candidate) into the second
+        pltpu.prng_seed(seed_ref[0], (j + ofs // vb) * k_cands + k)
         u = _uniform_from_bits(
             pltpu.bitcast(pltpu.prng_random_bits((n, vb)), jnp.uint32))
         g = logits + (-jnp.log(-jnp.log(u)))
@@ -169,7 +182,7 @@ def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
         better = bm > bg_scr[:, k:k + 1]
         bg_scr[:, k:k + 1] = jnp.where(better, bm, bg_scr[:, k:k + 1])
         bi_scr[:, k:k + 1] = jnp.where(
-            better, (idx_blk + j * vb).astype(jnp.float32),
+            better, (idx_blk + j * vb + ofs).astype(jnp.float32),
             bi_scr[:, k:k + 1])
         bl_scr[:, k:k + 1] = jnp.where(better, logit_at, bl_scr[:, k:k + 1])
 
@@ -178,18 +191,20 @@ def _pass_a_kernel(seed_ref, y_ref, w_ref, b_ref,
         lse_ref[:] = _flash_lse_final(m_scr, l_scr)
         idx_ref[:] = bi_scr[:].astype(jnp.int32)
         clog_ref[:] = bl_scr[:]
+        bg_ref[:] = bg_scr[:]
 
 
-def _pass_b_kernel(y_ref, w_ref, b_ref, lse_ref, clog_ref, mass_ref,
+def _pass_b_kernel(ofs_ref, y_ref, w_ref, b_ref, lse_ref, clog_ref, mass_ref,
                    acc_scr, *, v_true, k_cands, inv_temp):
     j = pl.program_id(0)
     nv = pl.num_programs(0)
+    ofs = ofs_ref[0]
 
     @pl.when(j == 0)
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
+    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs)
     p = jnp.exp(logits - lse_ref[:])
     for k in range(k_cands):
         above = logits > clog_ref[:, k:k + 1]
@@ -201,16 +216,17 @@ def _pass_b_kernel(y_ref, w_ref, b_ref, lse_ref, clog_ref, mass_ref,
         mass_ref[:] = acc_scr[:]
 
 
-def _pass_lse_kernel(y_ref, w_ref, b_ref, lse_ref, m_scr, l_scr,
+def _pass_lse_kernel(ofs_ref, y_ref, w_ref, b_ref, lse_ref, m_scr, l_scr,
                      *, v_true, inv_temp):
     j = pl.program_id(0)
     nv = pl.num_programs(0)
+    ofs = ofs_ref[0]
 
     @pl.when(j == 0)
     def _():
         _flash_lse_init(m_scr, l_scr)
 
-    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
+    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs)
     _flash_lse_update(m_scr, l_scr, logits)
 
     @pl.when(j == nv - 1)
@@ -230,30 +246,41 @@ def _prefix_sum(x):
     return x
 
 
-def _pass_cdf_kernel(y_ref, w_ref, b_ref, lse_ref, t_ref,
-                     idx_ref, clog_ref,
-                     c_scr, bi_scr, bl_scr, ll_scr,
-                     *, v_true, k_cands, inv_temp):
+def _pass_cdf_kernel(ofs_ref, c0_ref, y_ref, w_ref, b_ref, lse_ref, t_ref,
+                     *refs, v_true, k_cands, inv_temp, raw=False):
     """Inverse-CDF candidate draw: candidate k = first vocab index whose
     running softmax prefix mass reaches target t_k in (0, 1). Sequential
     grid over vocab blocks; c_scr carries the cumulative mass so far,
     bi/bl the found index/logit per candidate (-1 = not found yet), ll the
     fallback logit at the last in-vocab column for targets beyond the f32
-    prefix total."""
+    prefix total.
+
+    ``ofs_ref`` (SMEM): GLOBAL column offset (0 full-vocab; vocab-sharded
+    calls pass axis_index('model') * V_shard) — candidate ids and the
+    v_true mask use global coordinates. ``c0_ref`` [n, 1]: the prefix mass
+    BELOW this call's slice (0 full-vocab; sum of earlier shards' softmax
+    mass when sharded) so the stitched per-shard prefixes form one global
+    CDF. With ``raw`` the kernel skips the fallback resolution and emits
+    (bi with -1 = not-found-here, bl, ll) for the caller's cross-shard
+    merge (fused_top_p_sample_sharded)."""
+    if raw:
+        idx_ref, clog_ref, ll_ref, c_scr, bi_scr, bl_scr, ll_scr = refs
+    else:
+        idx_ref, clog_ref, c_scr, bi_scr, bl_scr, ll_scr = refs
     j = pl.program_id(0)
     nv = pl.num_programs(0)
     n = y_ref.shape[0]
     vb = w_ref.shape[0]
-    jlast = (v_true - 1) // vb        # static: block holding col v_true-1
+    ofs = ofs_ref[0]
 
     @pl.when(j == 0)
     def _():
-        c_scr[:] = jnp.zeros_like(c_scr)
+        c_scr[:] = c0_ref[:]
         bi_scr[:] = jnp.full_like(bi_scr, -1.0)
         bl_scr[:] = jnp.full_like(bl_scr, NEG)
-        ll_scr[:] = jnp.full_like(ll_scr, NEG)
+        ll_scr[:] = jnp.zeros_like(ll_scr)
 
-    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true)
+    logits = _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs)
     p = jnp.exp(logits - lse_ref[:])           # masked cols underflow to 0
     cums = c_scr[:] + _prefix_sum(p)           # [n, vb] running prefix
 
@@ -269,30 +296,41 @@ def _pass_cdf_kernel(y_ref, w_ref, b_ref, lse_ref, t_ref,
         # the v_true-1 fallback, never select a masked column.
         cnt = jnp.sum((cums < t_k).astype(jnp.float32), axis=1,
                       keepdims=True)
-        found = ((cnt < vb) & (cnt + j * vb < v_true)
+        found = ((cnt < vb) & (cnt + j * vb + ofs < v_true)
                  & (bi_scr[:, k:k + 1] < 0))
         sel = cols == cnt.astype(jnp.int32)
         logit_at = jnp.sum(jnp.where(sel, logits, 0.0), axis=1,
                            keepdims=True)
-        bi_scr[:, k:k + 1] = jnp.where(found, cnt + j * vb,
+        bi_scr[:, k:k + 1] = jnp.where(found, cnt + j * vb + ofs,
                                        bi_scr[:, k:k + 1])
         bl_scr[:, k:k + 1] = jnp.where(found, logit_at, bl_scr[:, k:k + 1])
     c_scr[:] = cums[:, -1:]
 
-    @pl.when(j == jlast)
-    def _():
-        c0 = (v_true - 1) - jlast * vb
-        ll_scr[:] = logits[:, c0:c0 + 1]
+    # the fallback logit at GLOBAL column v_true-1: exactly one block of
+    # one call ever matches (a sharded call may own none — ll stays 0 and
+    # the merge masks it out via the owner test)
+    cols_g = cols + j * vb + ofs
+    ll_scr[:] += jnp.sum(jnp.where(cols_g == v_true - 1, logits, 0.0),
+                         axis=1, keepdims=True)
 
     @pl.when(j == nv - 1)
     def _():
-        none = bi_scr[:] < 0
-        idx_ref[:] = jnp.where(none, v_true - 1,
-                               bi_scr[:]).astype(jnp.int32)
-        clog_ref[:] = jnp.where(none, ll_scr[:], bl_scr[:])
+        if raw:
+            idx_ref[:] = bi_scr[:].astype(jnp.int32)
+            clog_ref[:] = bl_scr[:]
+            ll_ref[:] = ll_scr[:]
+        else:
+            none = bi_scr[:] < 0
+            idx_ref[:] = jnp.where(none, v_true - 1,
+                                   bi_scr[:]).astype(jnp.int32)
+            clog_ref[:] = jnp.where(none, ll_scr[:], bl_scr[:])
 
 
-def _compute_lse(y, w, b, *, v_true, inv_temp, vblock):
+def _ofs_arr(col_ofs):
+    return jnp.asarray(col_ofs, jnp.int32).reshape(1)
+
+
+def _compute_lse(y, w, b, *, v_true, inv_temp, vblock, col_ofs=0):
     n, d = y.shape
     v = w.shape[0]
     return pl.pallas_call(
@@ -300,6 +338,7 @@ def _compute_lse(y, w, b, *, v_true, inv_temp, vblock):
                           inv_temp=inv_temp),
         grid=(v // vblock,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vblock, d), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -314,55 +353,67 @@ def _compute_lse(y, w, b, *, v_true, inv_temp, vblock):
             pltpu.VMEM((n, 1), jnp.float32),
             pltpu.VMEM((n, 1), jnp.float32),
         ],
-    )(y, w.reshape(v, d), b.reshape(1, v))[0]
+    )(_ofs_arr(col_ofs), y, w.reshape(v, d), b.reshape(1, v))[0]
 
 
 def _draw_candidates_cdf(y, w, b, lse, targets, *, v_true, k_cands,
-                         inv_temp, vblock):
+                         inv_temp, vblock, col_ofs=0, c0=None, raw=False):
     n, d = y.shape
     v = w.shape[0]
+    if c0 is None:
+        c0 = jnp.zeros((n, 1), jnp.float32)
+    nkspec = pl.BlockSpec((n, k_cands), lambda j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [nkspec, nkspec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, k_cands), jnp.int32),
+        jax.ShapeDtypeStruct((n, k_cands), jnp.float32),
+    ]
+    if raw:
+        out_specs.append(pl.BlockSpec((n, 1), lambda j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n, 1), jnp.float32))
     return pl.pallas_call(
         functools.partial(_pass_cdf_kernel, v_true=v_true, k_cands=k_cands,
-                          inv_temp=inv_temp),
+                          inv_temp=inv_temp, raw=raw),
         grid=(v // vblock,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vblock, d), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vblock), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            nkspec,
         ],
-        out_specs=[
-            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, k_cands), jnp.int32),
-            jax.ShapeDtypeStruct((n, k_cands), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),
             pltpu.VMEM((n, k_cands), jnp.float32),
             pltpu.VMEM((n, k_cands), jnp.float32),
             pltpu.VMEM((n, 1), jnp.float32),
         ],
-    )(y, w.reshape(v, d), b.reshape(1, v), lse, targets)
+    )(_ofs_arr(col_ofs), c0, y, w.reshape(v, d), b.reshape(1, v), lse,
+      targets)
 
 
-def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
+def _pass_a_call(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock,
+                 col_ofs=0):
+    """Pass A: (lse [n,1], candidate ids [n,K] GLOBAL, candidate logits
+    [n,K], best Gumbel scores [n,K])."""
     n, d = y.shape
     v = w.shape[0]
-    grid = (v // vblock,)
-    lse, idx, clog = pl.pallas_call(
+    nkspec = pl.BlockSpec((n, k_cands), lambda j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         functools.partial(_pass_a_kernel, v_true=v_true, k_cands=k_cands,
                           inv_temp=inv_temp),
-        grid=grid,
+        grid=(v // vblock,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vblock, d), lambda j: (j, 0),
@@ -372,14 +423,12 @@ def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
         ],
         out_specs=[
             pl.BlockSpec((n, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k_cands), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            nkspec, nkspec, nkspec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, k_cands), jnp.int32),
+            jax.ShapeDtypeStruct((n, k_cands), jnp.float32),
             jax.ShapeDtypeStruct((n, k_cands), jnp.float32),
         ],
         scratch_shapes=[
@@ -389,8 +438,14 @@ def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
             pltpu.VMEM((n, k_cands), jnp.float32),
             pltpu.VMEM((n, k_cands), jnp.float32),
         ],
-    )(seed.reshape(1), y, w.reshape(v, d), b.reshape(1, v))
+    )(seed.reshape(1), _ofs_arr(col_ofs), y, w.reshape(v, d),
+      b.reshape(1, v))
 
+
+def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
+    lse, idx, clog, _ = _pass_a_call(y, w, b, seed, v_true=v_true,
+                                     k_cands=k_cands, inv_temp=inv_temp,
+                                     vblock=vblock)
     masses = _candidate_masses(y, w, b, lse, clog, v_true=v_true,
                                k_cands=k_cands, inv_temp=inv_temp,
                                vblock=vblock)
@@ -398,7 +453,7 @@ def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
 
 
 def _candidate_masses(y, w, b, lse, clog, *, v_true, k_cands, inv_temp,
-                      vblock):
+                      vblock, col_ofs=0):
     n, d = y.shape
     v = w.shape[0]
     return pl.pallas_call(
@@ -406,6 +461,7 @@ def _candidate_masses(y, w, b, lse, clog, *, v_true, k_cands, inv_temp,
                           inv_temp=inv_temp),
         grid=(v // vblock,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vblock, d), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -421,7 +477,7 @@ def _candidate_masses(y, w, b, lse, clog, *, v_true, k_cands, inv_temp,
         ],
         out_shape=[jax.ShapeDtypeStruct((n, k_cands), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((n, k_cands), jnp.float32)],
-    )(y, w.reshape(v, d), b.reshape(1, v), lse, clog)[0]
+    )(_ofs_arr(col_ofs), y, w.reshape(v, d), b.reshape(1, v), lse, clog)[0]
 
 
 def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
@@ -491,6 +547,14 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
                                  k_cands=k_cands, inv_temp=inv_temp,
                                  vblock=vblock)
 
+    return _accept_loop(draw, seed, top_p, max_rounds)
+
+
+def _accept_loop(draw, seed, top_p, max_rounds):
+    """Shared candidate-acceptance retry loop: draw(seed) -> (idx [B,K]
+    GLOBAL candidate ids, masses [B,K] strictly-above nucleus masses);
+    accept the first candidate with mass <= top_p, retry stragglers with a
+    fresh seed, keep the last candidate after ``max_rounds``."""
     def pick(idx, masses):
         ok = masses <= top_p                      # [B, K]
         first = jnp.argmax(ok, axis=1)
@@ -517,3 +581,123 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     token, _, _ = jax.lax.while_loop(cond, body,
                                      (token, accepted, jnp.int32(1)))
     return token.astype(jnp.int32)
+
+
+def _merge_lse(lse_local, axis_name):
+    """Cross-shard flash-LSE merge (per-row): max shift + psum of exps."""
+    m = jax.lax.pmax(lse_local, axis_name)
+    return m + jnp.log(jax.lax.psum(jnp.exp(lse_local - m), axis_name))
+
+
+def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
+                               axis_name="model", temperature=1.0,
+                               k_cands=4, max_rounds=4, vblock=None,
+                               strategy="gumbel"):
+    """Vocab-sharded fused sampling step — runs INSIDE a shard_map whose
+    specs put w/b's vocab dimension on ``axis_name`` (the north-star
+    wd-articles serving geometry, parallel/mesh.param_shardings).
+
+    y [B_local, D] hidden states (batch may be data-sharded outside);
+    w [V_pad/n_model, D] / b [V_pad/n_model] the LOCAL head slice; seed an
+    int32 scalar IDENTICAL on every vocab shard of a data shard (data-axis
+    decorrelation is the caller's job). Each device streams only its vocab
+    slice — the head is never all-gathered — and per-row scalar collectives
+    merge the shard statistics:
+
+      gumbel: per-shard pass A draws candidates over the local slice with
+        the GLOBAL block index folded into the Gumbel seed, so the shard
+        noise is bit-identical to the same blocks of an unsharded call;
+        the winner merges by pmax of the best Gumbel score (ties broken to
+        the lowest global id, matching the unsharded kernel's first-block-
+        wins rule), the candidate logit by a masked psum, the logsumexp by
+        the flash merge.
+      cdf: per-shard flash LSE -> global lse (_merge_lse); each shard's
+        prefix scan starts at the softmax mass of all earlier shards
+        (exp(lse_shard - lse) all-gathered), stitching one global CDF; the
+        first found (smallest) global index wins by pmin; targets beyond
+        the f32 total fall back to v_true-1 on its owning shard.
+
+    The nucleus-membership masses psum over shards and the shared
+    acceptance/retry loop (_accept_loop) sees replicated (idx, mass) — all
+    shards take the same branch. Same renormalized-nucleus distribution as
+    fused_top_p_sample; equivalence: tests/test_fused_sample.py (sharded
+    greedy degeneracy is bit-exact, sharded cdf is distribution-tested).
+    """
+    if strategy not in ("gumbel", "cdf"):
+        raise ValueError(
+            f"strategy must be 'gumbel' or 'cdf', got {strategy!r}")
+    n = y.shape[0]
+    v_shard = w.shape[0]
+    vblock = vblock if vblock else pick_vblock(v_shard)
+    assert vblock > 0 and v_shard % vblock == 0, \
+        f"no vocab tile divides V_shard={v_shard} (callers gate on supported())"
+    inv_temp = (1.0 / float(temperature)) if temperature else 1.0
+    y = y.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    seed = jnp.asarray(seed).astype(jnp.int32)
+    ofs = (jax.lax.axis_index(axis_name) * v_shard).astype(jnp.int32)
+
+    if n > ROWCHUNK:
+        toks = [
+            fused_top_p_sample_sharded(
+                y[s:s + ROWCHUNK], w, b,
+                seed + jnp.int32(104729 * (s // ROWCHUNK + 1)),
+                top_p, v_true=v_true, axis_name=axis_name,
+                temperature=temperature, k_cands=k_cands,
+                max_rounds=max_rounds, vblock=vblock, strategy=strategy)
+            for s in range(0, n, ROWCHUNK)
+        ]
+        return jnp.concatenate(toks)
+
+    BIG = jnp.int32(1 << 30)
+    owns_last = (ofs <= v_true - 1) & (v_true - 1 < ofs + v_shard)
+
+    def merge_masses(lse, clog):
+        local = _candidate_masses(y, w, b, lse, clog, v_true=v_true,
+                                  k_cands=k_cands, inv_temp=inv_temp,
+                                  vblock=vblock, col_ofs=ofs)
+        return jax.lax.psum(local, axis_name)
+
+    if strategy == "cdf":
+        lse_s = _compute_lse(y, w, b, v_true=v_true, inv_temp=inv_temp,
+                             vblock=vblock, col_ofs=ofs)
+        lse = _merge_lse(lse_s, axis_name)
+        # softmax mass of all EARLIER shards = this shard's prefix origin
+        mass_s = jnp.exp(lse_s - lse)                       # [n, 1]
+        all_mass = jax.lax.all_gather(mass_s, axis_name)    # [nm, n, 1]
+        nm = all_mass.shape[0]
+        before = (jnp.arange(nm)[:, None, None]
+                  < jax.lax.axis_index(axis_name))
+        prefix = jnp.sum(jnp.where(before, all_mass, 0.0), axis=0)
+
+        def draw(s):
+            u = jax.random.uniform(jax.random.PRNGKey(s), (n, k_cands),
+                                   minval=jnp.float32(1e-7), maxval=1.0)
+            bi, bl, ll = _draw_candidates_cdf(
+                y, w, b, lse, u, v_true=v_true, k_cands=k_cands,
+                inv_temp=inv_temp, vblock=vblock, col_ofs=ofs, c0=prefix,
+                raw=True)
+            idx_f = jnp.where(bi >= 0, bi, BIG)
+            idx_min = jax.lax.pmin(idx_f, axis_name)
+            found = idx_min < BIG
+            clog_hit = jax.lax.psum(
+                jnp.where(idx_f == idx_min, bl, 0.0), axis_name)
+            ll_g = jax.lax.psum(jnp.where(owns_last, ll, 0.0), axis_name)
+            idx = jnp.where(found, idx_min, v_true - 1)
+            clog = jnp.where(found, clog_hit, ll_g)
+            return idx, merge_masses(lse, clog)
+    else:
+        def draw(s):
+            lse_s, idx_s, clog_s, bg_s = _pass_a_call(
+                y, w, b, s, v_true=v_true, k_cands=k_cands,
+                inv_temp=inv_temp, vblock=vblock, col_ofs=ofs)
+            lse = _merge_lse(lse_s, axis_name)
+            bg_max = jax.lax.pmax(bg_s, axis_name)
+            idx_f = jnp.where(bg_s == bg_max, idx_s, BIG)
+            idx = jax.lax.pmin(idx_f, axis_name)  # lowest id among ties
+            clog = jax.lax.psum(jnp.where(idx_f == idx, clog_s, 0.0),
+                                axis_name)
+            return idx, merge_masses(lse, clog)
+
+    return _accept_loop(draw, seed, top_p, max_rounds)

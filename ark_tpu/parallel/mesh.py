@@ -129,7 +129,7 @@ def make_parallel_train_step(model, layout, config, mesh: Mesh,
 
 def make_parallel_sampler(model, layout, mesh: Mesh, *, sample=True,
                           temperature=1.0, top_k=0, top_p=0.0, forced=(),
-                          fused_strategy="auto"):
+                          fused_strategy="auto", shard_vocab=False):
     """Data-parallel sampling: the batch axis is sharded over 'data', params
     replicated; the whole generation scan runs SPMD (each chip decodes its
     shard, no cross-chip communication needed). The decode state and token
@@ -138,17 +138,23 @@ def make_parallel_sampler(model, layout, mesh: Mesh, *, sample=True,
     could legally replicate the whole generation on every chip;
     tests/test_parallel.py checks the compiled output sharding).
 
+    With ``shard_vocab`` the head params stay vocab-sharded over 'model'
+    (place_params applies param_shardings(shard_vocab=True)) and the fused
+    sampling kernel streams per-shard head slices with cross-shard merges
+    instead of all-gathering the head (sample/samplers.py).
+
     lm models:  sampler(params, rng, batch_size) with batch_size % data == 0.
     vae models: sampler(params, rng, z) with z pre-placed via place_batch."""
     from ark_tpu.sample import make_sampler
 
     base = make_sampler(model, layout, sample=sample, temperature=temperature,
                         top_k=top_k, top_p=top_p, forced=forced, mesh=mesh,
-                        fused_strategy=fused_strategy)
+                        fused_strategy=fused_strategy, shard_vocab=shard_vocab)
     repl = NamedSharding(mesh, P())
 
     def place_params(params):
-        return jax.device_put(params, param_shardings(params, mesh))
+        return jax.device_put(params,
+                              param_shardings(params, mesh, shard_vocab))
 
     if model.kind == "lm":
         def sampler(params, rng, batch_size):

@@ -182,7 +182,7 @@ def _force(logits, pos_idx, forced):
 
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                  top_p=0.0, forced=(), mesh=None, fused="auto",
-                 fused_strategy="auto"):
+                 fused_strategy="auto", shard_vocab=False):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
@@ -205,6 +205,13 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     ``fused_strategy``: 'auto' | 'gumbel' | 'cdf' — candidate-draw strategy
     inside the fused kernel (sample_step.py module docstring). 'auto'
     resolves to the faster measured default.
+
+    ``shard_vocab``: the head params are vocab-sharded over the mesh's
+    'model' axis (parallel/mesh.param_shardings). The fused kernel then
+    runs per (data, vocab) shard — each device streams only its V/n_model
+    head slice, per-row scalar collectives merge the shard statistics
+    (ops/pallas/sample_step.fused_top_p_sample_sharded) — instead of
+    all-gathering the ~120 MB wd-articles head every token step.
     """
     st = layout.special_tokens
     bos, eos = st["BOS"], st["EOS"]
@@ -243,35 +250,63 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
         use_fused = False
         if fused_model_ok:
             from ark_tpu.ops.pallas.sample_step import (
-                fused_top_p_sample, supported as fused_supported)
+                fused_top_p_sample, fused_top_p_sample_sharded,
+                supported as fused_supported)
 
             w_head, b_head = model.head(params)
             nd = 1 if mesh is None else dict(mesh.shape).get("data", 1)
-            use_fused = (batch % nd == 0 and fused_supported(
-                batch // nd, w_head.shape[1], w_head.shape[0]))
+            nm = 1 if mesh is None else dict(mesh.shape).get("model", 1)
+            vocab_sharded = bool(shard_vocab and nm > 1)
+            if vocab_sharded:
+                # per-(data, vocab)-shard kernel shapes: each device holds
+                # a V/nm head slice and a batch/nd row block
+                use_fused = (batch % nd == 0 and w_head.shape[0] % nm == 0
+                             and fused_supported(batch // nd,
+                                                 w_head.shape[1],
+                                                 w_head.shape[0] // nm))
+            else:
+                use_fused = (batch % nd == 0 and fused_supported(
+                    batch // nd, w_head.shape[1], w_head.shape[0]))
 
             def fused_draw(y, k):
                 seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max,
                                           dtype=jnp.int32)
-                call = functools.partial(
-                    fused_top_p_sample, top_p=float(top_p),
-                    v_true=layout.vocab_size,
-                    temperature=float(temperature) if temperature else 1.0,
-                    strategy=fused_strategy)
+                common = dict(top_p=float(top_p), v_true=layout.vocab_size,
+                              temperature=(float(temperature)
+                                           if temperature else 1.0),
+                              strategy=fused_strategy)
+                if vocab_sharded:
+                    from jax.sharding import PartitionSpec as P
+
+                    def local(y, w, b, seed):
+                        # decorrelate Gumbel noise across DATA shards only:
+                        # the vocab shards of one data shard must share the
+                        # seed (their per-block noise stitches one global
+                        # draw, sample_step.fused_top_p_sample_sharded)
+                        s = seed + jax.lax.axis_index("data") * 65537
+                        return fused_top_p_sample_sharded(y, w, b, s,
+                                                          **common)
+
+                    return jax.shard_map(
+                        local, mesh=mesh,
+                        in_specs=(P("data", None), P("model", None),
+                                  P("model"), P()),
+                        out_specs=P("data"), check_vma=False)(
+                            y, w_head, b_head, seed)
                 if mesh is not None and nd > 1:
                     from jax.sharding import PartitionSpec as P
 
                     def local(y, w, b, seed):
                         # decorrelate per-shard Gumbel noise
                         s = seed + jax.lax.axis_index("data") * 65537
-                        return call(y, w, b, s)
+                        return fused_top_p_sample(y, w, b, s, **common)
 
                     return jax.shard_map(
                         local, mesh=mesh,
                         in_specs=(P("data", None), P(), P(), P()),
                         out_specs=P("data"), check_vma=False)(
                             y, w_head, b_head, seed)
-                return call(y, w_head, b_head, seed)
+                return fused_top_p_sample(y, w_head, b_head, seed, **common)
 
         def body(carry, t):
             state, token, finished, rng = carry

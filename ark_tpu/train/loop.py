@@ -122,10 +122,14 @@ class SamplerBank:
     """Caches compiled samplers across epochs (jit caches key on function
     identity, so the sampler must be built once per run)."""
 
-    def __init__(self, model, layout, config, chunk=512, mesh=None):
+    def __init__(self, model, layout, config, chunk=512, mesh=None,
+                 shard_vocab=False):
         self.model = model
         self.layout = layout
         self.config = config
+        # vocab-sharded head params -> the fused sampling kernel streams
+        # per-shard head slices with cross-shard merges (sample/samplers.py)
+        self.shard_vocab = bool(shard_vocab)
         # fail at construction (training startup), not at the first
         # sampling eval epochs later — config files bypass CLI guards
         strat = str(config.get("fused_sample_strategy", "auto"))
@@ -184,7 +188,8 @@ class SamplerBank:
                 top_p=self.config.get("top_p", 0.9),
                 top_k=self.config.get("top_k", 0), mesh=self.mesh,
                 fused_strategy=self.config.get("fused_sample_strategy",
-                                               "auto"))
+                                               "auto"),
+                shard_vocab=self.shard_vocab)
             base, chunk = self._lm_sampler, self.chunk
 
             @functools.partial(jax.jit, static_argnums=(2,))
@@ -326,6 +331,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
     start_epoch = 0
     best_val_loss = float("inf")
+    best_validity = float("-inf")
     resumed_comp_bits = 1e12
     # functional resume (reference declares but never reads these keys)
     if config.get("resume_from_checkpoint") and config.get("checkpoint_path"):
@@ -338,6 +344,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             best_val_loss = float(ckpt.get("best_val_loss",
                                            ckpt.get("val_loss", float("inf"))))
             resumed_comp_bits = float(ckpt.get("best_comp_bits", 1e12))
+            best_validity = float(ckpt.get("best_validity", float("-inf")))
             if ckpt.get("rng_state") is not None:
                 # continue the exact RNG stream (sampling/augmentation/z
                 # draws match an uninterrupted run)
@@ -384,7 +391,8 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     train_triples, train_seq = _repl(bundle.device_train())
     val_triples, val_seq, val_w = _repl(
         bundle.device_eval("val", config["batch_size"]))
-    sampler_bank = SamplerBank(model, layout, config, mesh=mesh)
+    sampler_bank = SamplerBank(model, layout, config, mesh=mesh,
+                               shard_vocab=shard_vocab)
 
     best_comp_bits = resumed_comp_bits
     run.log({"objective": best_comp_bits})
@@ -415,6 +423,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                             "rng_state": np.asarray(jax.random.key_data(rng)),
                             "best_comp_bits": float(best_comp_bits),
                             "best_val_loss": float(best_val_loss),
+                            "best_validity": float(best_validity),
                         })
 
     # tqdm progress over epochs (reference train.py:42,91 wraps its batch
@@ -457,7 +466,8 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         if do_comp:
             with timer.phase("compression"):
                 stats = posterior_bits(model, state.params, bundle.val, layout,
-                                       sample_frac=sample_frac, rng=k_comp)
+                                       sample_frac=sample_frac, rng=k_comp,
+                                       mesh=mesh, shard_vocab=shard_vocab)
             print("\n[Posterior Compression on Validation Set]")
             print(f" Avg total bits: {stats['avg_total_bits']:.2f}")
             print(f" Avg AR bits:    {stats['avg_ar_bits']:.2f}")
@@ -497,6 +507,23 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                 f"verification/{prefix}novelty_rate": res.get("novel", 0.0) / 100.0,
                 f"verification/{prefix}valid_novelty_rate": res.get("novel_semantics", 0.0) / 100.0,
             })
+            # opt-in best-VALIDITY checkpoint (deliberate extension, default
+            # off = reference behavior, which saves only best-val-loss +
+            # periodic, reference train.py:564-618): docs/QUALITY.md shows
+            # best-val-loss and best-validity diverge by 10-50 points on
+            # wd-articles (val loss bottoms at epoch 1-6, semantic validity
+            # peaks ~epoch 25), so without this the empirically best model
+            # is only on disk if save_every happens to align.
+            if config.get("track_best_validity", False):
+                validity = float(res.get("semantics", 0.0))
+                if validity > best_validity:
+                    best_validity = validity
+                    _ckpt(os.path.join(
+                        checkpoint_dir,
+                        f"{bundle.name}_{model_type}_best_validity.pt"),
+                        epoch + 1, val_loss)
+                    print(f"Saved best-validity model "
+                          f"({validity:.2f}% valid at epoch {epoch + 1})")
             if is_vae:
                 uniq = {canonical_graph_string(g) for g in graphs}
                 run.log({"diversity/unique_graphs": len(uniq),
@@ -534,13 +561,14 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         prog.close()
     # ------------------------- final validation ----------------------------
     final_metrics = final_validation(model, state, bundle, config, run, rng,
-                                     sampler_bank, eval_epoch_fn, mesh=mesh)
+                                     sampler_bank, eval_epoch_fn, mesh=mesh,
+                                     shard_vocab=shard_vocab)
     run.log(final_metrics)
     return final_metrics
 
 
 def final_validation(model, state, bundle, config, run, rng, sampler_bank,
-                     eval_epoch_fn, mesh=None):
+                     eval_epoch_fn, mesh=None, shard_vocab=False):
     """Reference final_validation (train.py:132-239): eval-set loss +
     compression + sampled-graph semantic evaluation."""
     use_test = config.get("use_test_for_final_eval", False)
@@ -561,7 +589,7 @@ def final_validation(model, state, bundle, config, run, rng, sampler_bank,
     m = eval_epoch_fn(state.params, triples, seq, w, k_eval, b)
     stats = posterior_bits(model, state.params, getattr(bundle, split), layout,
                            sample_frac=float(config.get("sample_frac", 0.1)),
-                           rng=k_comp)
+                           rng=k_comp, mesh=mesh, shard_vocab=shard_vocab)
 
     log_dict = {
         f"final_{eval_set_name}/loss": float(m["loss"]),

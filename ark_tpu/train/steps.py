@@ -76,11 +76,21 @@ def _batch_constrainer(mesh):
     return constrain
 
 
-def _use_fused_ce(model: Model, config, mesh=None) -> bool:
+def _use_fused_ce(model: Model, config, mesh=None, shard_vocab=False,
+                  backend_ok=None) -> bool:
     """The Pallas fused logits+CE kernel applies when requested (or 'auto'
-    on TPU), the model exposes head hooks, and the (per data-shard) shapes
-    meet the kernel constraints."""
-    if not _flag(config, "use_fused_ce") or model.features is None:
+    on TPU), the model exposes head hooks, and the (per data-shard, per
+    vocab-shard) shapes meet the kernel constraints. With ``shard_vocab``
+    the kernel runs per vocab shard with a cross-shard logsumexp merge
+    (ops/pallas/logit_ce._fused_ce_sums_sharded) — the north-star
+    vocab-sharded wd-articles geometry keeps the fused path.
+
+    ``backend_ok``: override the backend gate (None = the config flag's
+    'auto' resolution) — lets callers ask "would the plumbing select the
+    kernel on TPU?" from a CPU dryrun."""
+    flag_ok = _flag(config, "use_fused_ce") if backend_ok is None else (
+        backend_ok and config.get("use_fused_ce", "auto") is not False)
+    if not flag_ok or model.features is None or model.head is None:
         return False
     from ark_tpu.ops.pallas.logit_ce import supported
 
@@ -92,10 +102,16 @@ def _use_fused_ce(model: Model, config, mesh=None) -> bool:
     d = int(config["d_model"])
     mult = int(config.get("vocab_pad_multiple", 1))
     vp = ((config["vocab_size"] + mult - 1) // mult) * mult
+    if shard_vocab:
+        nm = 1 if mesh is None else dict(mesh.shape).get("model", 1)
+        if nm <= 1 or vp % nm != 0:
+            return False
+        vp //= nm
     return supported((bs // nd) * l, d, vp)
 
 
-def _make_fused_ce(model: Model, pad_id: int, config, mesh, cap_key):
+def _make_fused_ce(model: Model, pad_id: int, config, mesh, cap_key,
+                   shard_vocab=False):
     """Closure over the fused logits+CE kernel (ops/pallas/logit_ce.py).
 
     ``cap_key`` selects the static live-row bound for this data stream
@@ -119,7 +135,8 @@ def _make_fused_ce(model: Model, pad_id: int, config, mesh, cap_key):
             targets = jnp.where(row_weights[:, None] > 0, targets, pad_id)
         return fused_masked_cross_entropy(y, w, b, targets, pad_id,
                                           v_true=v_true, mm_dtype=mm_dtype,
-                                          mesh=mesh, row_cap=row_cap)
+                                          mesh=mesh, row_cap=row_cap,
+                                          shard_vocab=shard_vocab)
 
     return fused_ce
 
@@ -171,14 +188,17 @@ def _make_adam_apply(config, mesh):
 
 def _loss_fn(model: Model, pad_id: int, config=None, mesh=None,
              shard_vocab=False):
-    # vocab-sharded heads take the XLA sharded-logits path (GSPMD inserts
-    # the logsumexp collectives); the fused kernel covers the replicated-head
-    # (DP) layout.
-    fused = (config is not None and not shard_vocab
-             and _use_fused_ce(model, config, mesh))
+    # the fused kernel covers BOTH head layouts: replicated (DP — each data
+    # shard streams the full head) and vocab-sharded (each device streams
+    # its V/n_model slice; per-row logsumexp stats merge over 'model' —
+    # round-3 VERDICT item 1). Shapes that fail the per-shard constraints
+    # fall back to the XLA path (GSPMD logsumexp collectives).
+    fused = (config is not None
+             and _use_fused_ce(model, config, mesh, shard_vocab))
     if fused:
         fused_ce = _make_fused_ce(model, pad_id, config, mesh,
-                                  cap_key="ce_row_cap")
+                                  cap_key="ce_row_cap",
+                                  shard_vocab=shard_vocab)
     # free-bits KL floor (opt-in deviation; ops/losses.py docstring): the
     # OPTIMIZED objective's KL term is floored; the reported loss/kl
     # metrics stay the true (unfloored) ELBO terms so train/val losses
@@ -342,11 +362,12 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
     # eval through the fused kernel too (same math as the XLA logits path,
     # A/B'd identical): the XLA eval path materializes [B*L, V] logits in
     # HBM every validation batch — ~320 MB per batch on wd-articles
-    eval_fused = (config is not None and not shard_vocab
-                  and _use_fused_ce(model, config, mesh))
+    eval_fused = (config is not None
+                  and _use_fused_ce(model, config, mesh, shard_vocab))
     if eval_fused:
         eval_fused_ce = _make_fused_ce(model, pad_id, config, mesh,
-                                       cap_key="ce_row_cap_eval")
+                                       cap_key="ce_row_cap_eval",
+                                       shard_vocab=shard_vocab)
 
     @jax.jit
     def eval_epoch(params, triples_all, seq_all, row_weights, rng, beta):

@@ -86,6 +86,38 @@ def test_train_cli_end_to_end(small_datasets, tmp_path, model_type):
     assert ckpt["dataset_meta"]["dataset"] == "syn-paths"
 
 
+def test_track_best_validity_checkpoint(small_datasets, tmp_path):
+    """Opt-in ``track_best_validity`` saves {dataset}_{model}_best_validity.pt
+    at verification epochs (round-3 VERDICT item 7: docs/QUALITY.md shows
+    best-val-loss and best-validity diverge by 10-50 points on wd-articles,
+    so without this the empirically best model is often not on disk).
+    Default OFF = reference behavior (train.py:564-618 saves only best-val
+    + periodic)."""
+    from ark_tpu.experiments.train import main
+    from ark_tpu.utils import load_checkpoint
+
+    # default off: no best_validity file
+    cfg_off = _tiny_config(tmp_path, verify_every=1)
+    d_off = str(tmp_path / "off")
+    main(["--config", cfg_off, "--checkpoint-dir", d_off])
+    run_off = os.path.join(d_off, os.listdir(d_off)[0])
+    assert not os.path.exists(
+        os.path.join(run_off, "syn-paths_ARK_best_validity.pt"))
+
+    cfg = _tiny_config(tmp_path, verify_every=1, track_best_validity=True)
+    ckpt_dir = str(tmp_path / "on")
+    main(["--config", cfg, "--checkpoint-dir", ckpt_dir])
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    path = os.path.join(run_dir, "syn-paths_ARK_best_validity.pt")
+    assert os.path.exists(path)
+    ckpt = load_checkpoint(path)
+    for k in ["epoch", "model_state_dict", "optimizer_state_dict",
+              "val_loss", "config", "vocabs", "dataset_meta"]:
+        assert k in ckpt, k
+    # the tracked best is carried in extras for resume continuity
+    assert ckpt["best_validity"] >= 0.0
+
+
 def test_resume_from_checkpoint(small_datasets, tmp_path):
     from ark_tpu.experiments.train import main
 

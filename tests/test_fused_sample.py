@@ -294,6 +294,121 @@ def test_sampler_fused_forced_tokens_match_xla_path():
     assert live.any()
 
 
+def test_sharded_gumbel_matches_unsharded_greedy():
+    """fused_top_p_sample_sharded under a 2-way vocab-sharded shard_map ==
+    the unsharded argmax (interpret-mode Gumbel degeneracy), exercising the
+    global column offsets, the cross-shard pmax/pmin winner merge, the
+    flash-LSE merge and the psum'd nucleus masses — with v_true=500 cutting
+    into the SECOND shard's slice (global masking through ofs)."""
+    from jax.sharding import PartitionSpec as P
+    from ark_tpu.parallel import make_mesh
+    from ark_tpu.ops.pallas.sample_step import fused_top_p_sample_sharded
+
+    y, w, bias = _data()
+    v_true = 500
+    logits = y @ w.T + bias
+    logits = jnp.where(jnp.arange(V) < v_true, logits, -1e30)
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    # NOTE: 2-way mesh — pallas interpret mode deadlocks with more
+    # simulated devices on this 1-core host (tests/test_parallel.py)
+    mesh = make_mesh({"model": 2})
+
+    def local(y, w, b):
+        return fused_top_p_sample_sharded(y, w, b, jnp.int32(7), 0.9,
+                                          v_true=v_true, vblock=VB)
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P("model", None), P("model")),
+                      out_specs=P(), check_vma=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jax.jit(f)(y, w, bias))
+    np.testing.assert_array_equal(got, want)
+    assert (got < v_true).all()
+
+
+def test_sharded_cdf_tokens_in_nucleus_and_distribution():
+    """strategy='cdf' under a vocab-sharded shard_map draws from the SAME
+    renormalized-nucleus distribution as the unsharded kernel: per-shard
+    prefix scans stitched by the earlier-shards softmax mass, first-found
+    (pmin) candidate merge, psum'd membership masses. Interpret mode runs
+    the real distribution on CPU (targets come from jax.random outside the
+    kernel)."""
+    from jax.sharding import PartitionSpec as P
+    from ark_tpu.parallel import make_mesh
+    from ark_tpu.ops.pallas.sample_step import fused_top_p_sample_sharded
+
+    rng = np.random.default_rng(3)
+    b, d, v = 512, 128, 256
+    y1 = (rng.normal(size=(1, d)) * 0.12).astype(np.float32)
+    y = jnp.asarray(np.repeat(y1, b, 0))
+    w = jnp.asarray((rng.normal(size=(v, d)) * 0.12).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(v,)) * 0.3).astype(np.float32))
+    logits = np.asarray(y1 @ np.asarray(w).T + np.asarray(bias))[0]
+    p = np.exp(logits - logits.max())
+    p /= p.sum()
+    order = np.argsort(-p)
+    cdf = np.cumsum(p[order])
+    ncut = np.searchsorted(cdf, 0.9, side="left") + 1
+    nucleus = np.zeros(v, bool)
+    nucleus[order[:ncut]] = True
+    pn = np.where(nucleus, p, 0.0)
+    pn /= pn.sum()
+    assert 50 < ncut < v
+
+    mesh = make_mesh({"model": 2})
+
+    def local(y, w, b, s):
+        return fused_top_p_sample_sharded(y, w, b, s, 0.9, v_true=v,
+                                          vblock=128, strategy="cdf")
+
+    f = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("model", None), P("model"), P()),
+        out_specs=P(), check_vma=False))
+    counts = np.zeros(v)
+    n_draws = 0
+    with pltpu.force_tpu_interpret_mode():
+        for s in range(8):
+            tok = np.asarray(f(y, w, bias, jnp.int32(1000 + s)))
+            np.add.at(counts, tok, 1)
+            n_draws += b
+    assert counts[~nucleus].sum() == 0  # rejection rule: never off-nucleus
+    tv = 0.5 * np.abs(counts / n_draws - pn).sum()
+    assert tv < 0.12, tv
+
+
+def test_sampler_vocab_sharded_fused_end_to_end():
+    """make_sampler(shard_vocab=True) on a {'data':1,'model':2} mesh with
+    VOCAB-SHARDED head params drives the sharded fused kernel through the
+    whole generation scan; interpret-mode Gumbel degeneracy makes it equal
+    the unsharded greedy sampler token-for-token (round-3 VERDICT item 2:
+    the serving path survives the north-star vocab-sharded geometry)."""
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.parallel import make_mesh, param_shardings
+    from ark_tpu.sample import make_sampler
+
+    layout = build_vocab_layout(5000, 4, 2, 2, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=8, vocab_pad_multiple=1024, tie_weights=True,
+               use_pallas_gru=False)
+    mesh = make_mesh({"data": 1, "model": 2})
+    m = build_model(cfg, mesh=mesh)
+    params = m.init(jax.random.key(0))
+    params_s = jax.device_put(params,
+                              param_shardings(params, mesh, shard_vocab=True))
+    fused_sampler = make_sampler(m, layout, sample=True, top_p=0.9,
+                                 fused=True, mesh=mesh, shard_vocab=True)
+    greedy = make_sampler(build_model(cfg), layout, sample=False, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_sampler(params_s, jax.random.key(1), 8))
+    want = np.asarray(greedy(params, jax.random.key(1), 8))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sampler_cdf_strategy_end_to_end():
     """fused_strategy='cdf' through the full generation scan: real sampling
     in interpret mode — check the sequence contract (BOS start, in-vocab

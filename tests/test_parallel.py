@@ -233,6 +233,152 @@ def test_fused_ce_kernel_under_mesh():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_ce_kernel_vocab_sharded():
+    """The fused logits+CE kernel survives the north-star VOCAB-SHARDED
+    geometry (round-3 VERDICT item 1): each device streams only its
+    V/n_model slice of the head inside shard_map, per-row (logsumexp,
+    target-logit) statistics merge over 'model'
+    (ops/pallas/logit_ce._fused_ce_sums_sharded), and the full train step
+    matches the single-device XLA path exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ark_tpu.train import create_train_state, make_train_step
+    from ark_tpu.parallel import make_parallel_train_step
+
+    layout = build_vocab_layout(900, 4, 3, 3, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=1, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=16, vocab_pad_multiple=1024,
+               use_pallas_gru=False, use_fused_ce=True)
+    # NOTE: 2-way mesh — pallas interpret mode deadlocks with 8 simulated
+    # devices on this 1-core host; per-shard head slice = 1024/2 = 512 rows
+    mesh = make_mesh({"data": 1, "model": 2})
+    rng = np.random.default_rng(3)
+    triples = np.stack([rng.integers(0, 900, (16, 3)),
+                        rng.integers(0, 4, (16, 3)),
+                        rng.integers(0, 900, (16, 3))], axis=-1).astype(np.int32)
+    from ark_tpu.train.steps import build_seq_from_triples
+    seq = np.asarray(build_seq_from_triples(
+        jnp.asarray(triples), layout.ent_base, layout.rel_base, 1, 2))
+
+    # vocab-sharded fused path under the mesh (kernel in interpret mode)
+    m_fused = build_model(cfg, mesh=mesh)
+    from ark_tpu.train.steps import _use_fused_ce
+    assert _use_fused_ce(m_fused, cfg, mesh, shard_vocab=True)
+    step, place_state_fn, place_batch_fn = make_parallel_train_step(
+        m_fused, layout, cfg, mesh, shard_vocab=True)
+    state = place_state_fn(create_train_state(m_fused, jax.random.key(0)))
+    with pltpu.force_tpu_interpret_mode():
+        state, mf = step(state, place_batch_fn(triples), place_batch_fn(seq),
+                         jax.random.key(5), 1e-2, 1.0)
+        loss_fused = float(mf["loss"])
+
+    # XLA path, single device — losses AND post-Adam params must agree
+    cfg_x = dict(cfg, use_fused_ce=False)
+    m_xla = build_model(cfg_x)
+    state_x = create_train_state(m_xla, jax.random.key(0))
+    step_x = make_train_step(m_xla, pad_id=0, config=cfg_x)
+    state_x, mx = step_x(state_x, jnp.asarray(triples), jnp.asarray(seq),
+                         jax.random.key(5), 1e-2, 1.0)
+    np.testing.assert_allclose(loss_fused, float(mx["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    # post-Adam params: sqrt(v)+eps normalization amplifies last-ulp f32
+    # grad summation-order differences (blocks-within-shard vs full-row),
+    # so the tolerance is on the scale of 1% of one lr=1e-2 update
+    for pa, pb in zip(jax.tree.leaves(state.params),
+                      jax.tree.leaves(state_x.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("axes,shard_vocab", [
+    ({"data": 8}, False),
+    ({"data": 4, "model": 2}, True),
+])
+def test_posterior_bits_under_mesh(axes, shard_vocab):
+    """posterior_bits routed through mesh-aware placement equals the
+    single-device value on both dryrun geometries (round-3 VERDICT item 6).
+    On this CPU mesh the XLA bits path runs (GSPMD logsumexp collectives);
+    the fused kernel-in-mesh path is covered in interpret mode below."""
+    from ark_tpu.data.dataset import GraphSeqArrays
+    from ark_tpu.eval import posterior_bits
+    from ark_tpu.parallel import place_state
+    from ark_tpu.train.state import TrainState
+
+    m = build_model(CFG)
+    params = m.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    n = 16
+    triples = rng.integers(0, 4, size=(n, 3, 3)).astype(np.int32)
+    triples[:, :, 0] %= 20
+    triples[:, :, 2] %= 20
+    from ark_tpu.train.steps import build_seq_from_triples
+    seq = np.asarray(build_seq_from_triples(
+        jnp.asarray(triples), LAYOUT.ent_base, LAYOUT.rel_base, 1, 2))
+    data = GraphSeqArrays(triples=triples, seq=seq,
+                          n_edges=np.full(n, 3, np.int32), layout=LAYOUT)
+
+    want = posterior_bits(m, params, data, LAYOUT, sample_frac=1.0,
+                          batch_size=8)
+    mesh = make_mesh(axes)
+    placed = place_state(TrainState(params, params), mesh, shard_vocab).params
+    got = posterior_bits(m, placed, data, LAYOUT, sample_frac=1.0,
+                         batch_size=8, mesh=mesh, shard_vocab=shard_vocab)
+    np.testing.assert_allclose(got["avg_total_bits"], want["avg_total_bits"],
+                               rtol=1e-5, atol=1e-6)
+    for ga, wa in zip(got["records"], want["records"]):
+        np.testing.assert_allclose(ga["ar_bits"], wa["ar_bits"],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_posterior_bits_fused_vocab_sharded():
+    """The FUSED per-row NLL path under a vocab-sharded mesh (interpret
+    mode): per-shard fused_ce_lse_t_rows + cross-shard logsumexp merge ==
+    the plain XLA bits — no all-gather of the head during compression
+    eval (round-3 VERDICT item 6)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ark_tpu.data.dataset import GraphSeqArrays
+    from ark_tpu.eval import posterior_bits
+    from ark_tpu.parallel import place_state
+    from ark_tpu.train.state import TrainState
+
+    layout = build_vocab_layout(900, 4, 3, 3, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=1, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=16, vocab_pad_multiple=1024,
+               use_pallas_gru=False)
+    rng = np.random.default_rng(2)
+    n = 16
+    triples = np.stack([rng.integers(0, 900, (n, 3)),
+                        rng.integers(0, 4, (n, 3)),
+                        rng.integers(0, 900, (n, 3))], axis=-1).astype(np.int32)
+    from ark_tpu.train.steps import build_seq_from_triples
+    seq = np.asarray(build_seq_from_triples(
+        jnp.asarray(triples), layout.ent_base, layout.rel_base, 1, 2))
+    data = GraphSeqArrays(triples=triples, seq=seq,
+                          n_edges=np.full(n, 3, np.int32), layout=layout)
+
+    m_x = build_model(dict(cfg, use_fused_ce=False))
+    params = m_x.init(jax.random.key(0))
+    want = posterior_bits(m_x, params, data, layout, sample_frac=1.0,
+                          batch_size=16)
+
+    # NOTE: 2-way mesh — pallas interpret mode deadlocks with 8 simulated
+    # devices on this 1-core host
+    mesh = make_mesh({"data": 1, "model": 2})
+    m_f = build_model(dict(cfg, use_fused_ce=True), mesh=mesh)
+    placed = place_state(TrainState(params, params), mesh, True).params
+    with pltpu.force_tpu_interpret_mode():
+        got = posterior_bits(m_f, placed, data, layout, sample_frac=1.0,
+                             batch_size=16, mesh=mesh, shard_vocab=True)
+    np.testing.assert_allclose(got["avg_total_bits"], want["avg_total_bits"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_gru_under_mesh():
     """The Pallas GRU scan engages per data shard via shard_map (interpret
     mode on CPU) and matches the lax.scan path."""
