@@ -271,3 +271,29 @@ def test_sampler_bank_device_variant_is_bitwise_and_unfetched():
     assert isinstance(dev, jax.Array)
     np.testing.assert_array_equal(
         np.asarray(dev), bank.sample_sequences(params, rng, 20))
+
+
+def test_sampler_bank_cycling_sizes_share_one_compile():
+    """Serving requests of varying --num-samples must not recompile per
+    distinct size (round-3 VERDICT item 8): the chunk count is a dynamic
+    fori_loop bound; only the power-of-two buffer bucket is static, so all
+    sizes within a bucket share ONE compiled program, and tokens for a
+    given target_n are independent of which other sizes ran before."""
+    from ark_tpu.train.loop import SamplerBank
+
+    m, params = _model("ARK")
+    cfg = dict(BASE, model_type="ARK", sample_chunk=8, temperature=1.0,
+               top_p=0.9, top_k=0)
+    bank = SamplerBank(m, LAYOUT, cfg, chunk=8)
+    rng = jax.random.key(9)
+    out17 = bank.sample_sequences(params, rng, 17)   # 3 chunks -> bucket 4
+    n0 = bank._lm_multi._cache_size()
+    out25 = bank.sample_sequences(params, rng, 25)   # 4 chunks -> bucket 4
+    out31 = bank.sample_sequences(params, rng, 31)   # 4 chunks -> bucket 4
+    assert bank._lm_multi._cache_size() == n0 == 1
+    assert out17.shape == (17, LAYOUT.seq_len)
+    assert out25.shape == (25, LAYOUT.seq_len)
+    # same rng + same chunk stream: 25-sample request's first 17 rows are
+    # exactly the 17-sample request (the host-loop equivalence invariant)
+    np.testing.assert_array_equal(out25[:17], out17)
+    np.testing.assert_array_equal(out31[:25], out25)
