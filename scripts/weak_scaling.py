@@ -31,7 +31,7 @@ import time
 
 
 def _measure(n_devices: int, per_device_batch: int, steps: int,
-             flagship: bool) -> dict:
+             flagship: bool, shard_vocab: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,11 +48,17 @@ def _measure(n_devices: int, per_device_batch: int, steps: int,
         config, layout = ge._flagship_config(
             n_entities=2048, n_relations=4, max_edges=8, d_model=128,
             n_layers=2, batch_size=per_device_batch * n_devices)
-    mesh = make_mesh({"data": n_devices})
+    if shard_vocab and n_devices % 2 == 0 and n_devices > 1:
+        # 2-way vocab sharding x DP over the rest: the wd-articles layout
+        # (embedding/head over 'model'; round-4 mesh-complete kernels)
+        mesh = make_mesh({"data": n_devices // 2, "model": 2})
+    else:
+        shard_vocab = False
+        mesh = make_mesh({"data": n_devices})
     model = build_model(config, mesh=mesh)
     state = create_train_state(model, jax.random.key(0))
     step, place_state, place_batch = make_parallel_train_step(
-        model, layout, config, mesh, shard_vocab=False)
+        model, layout, config, mesh, shard_vocab=shard_vocab)
     triples_np, seq_np = ge._make_real_batch(layout, config["batch_size"])
     state = place_state(state)
     triples, seq = place_batch(triples_np), place_batch(seq_np)
@@ -82,6 +88,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--flagship", action="store_true",
                     help="full wd-articles geometry (slow on CPU)")
+    ap.add_argument("--shard-vocab", action="store_true",
+                    help="2-way vocab-sharded head x DP over the rest "
+                         "(even mesh sizes > 1; odd/1 fall back to pure DP)")
     ap.add_argument("--one-size", type=int, default=0,
                     help="(internal) measure a single mesh size in-process")
     args = ap.parse_args(argv)
@@ -89,7 +98,7 @@ def main(argv=None):
     if args.one_size:
         import jax
         r = _measure(args.one_size, args.per_device_batch, args.steps,
-                     args.flagship)
+                     args.flagship, args.shard_vocab)
         print("RESULT", r)
         return
 
@@ -116,7 +125,8 @@ def main(argv=None):
             f"sys.argv = ['weak_scaling', '--one-size', '{n}', "
             f"'--per-device-batch', '{args.per_device_batch}', "
             f"'--steps', '{args.steps}'"
-            + (", '--flagship'" if args.flagship else "") + "]\n"
+            + (", '--flagship'" if args.flagship else "")
+            + (", '--shard-vocab'" if args.shard_vocab else "") + "]\n"
             f"runpy.run_path({os.path.join(repo, 'scripts', 'weak_scaling.py')!r}, "
             "run_name='__main__')\n"
         )
