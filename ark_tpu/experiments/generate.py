@@ -40,14 +40,39 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
                     temperature: float = 1.0, top_p: float = 0.9,
                     top_k: int = 0, greedy: bool = False, seed: int = 0,
                     model_type: str | None = None,
-                    sample_strategy: str = "auto"):
-    """Returns a list of labeled graphs (each a list of (h, r, t) labels)."""
+                    sample_strategy: str = "auto", mesh: str = "auto",
+                    shard_vocab: bool = False):
+    """Returns a list of labeled graphs (each a list of (h, r, t) labels).
+
+    ``mesh='auto'`` shards the serving batch over all local devices when
+    more than one is attached (SPMD generation, no cross-chip comms on the
+    DP axis); ``shard_vocab`` additionally splits the embedding/logit head
+    2-way over a 'model' axis — the big-vocab layout where the fused
+    sampling kernel streams per-shard head slices with cross-shard merges
+    instead of all-gathering the head (ops/pallas/sample_step.py)."""
     config, state, vocabs = load_run_checkpoint(ckpt_path)
     model, params, cfg, kind = build_from_checkpoint(config, state,
                                                      model_type)
     layout = _layout_from_config(cfg)
     batch = max(1, min(batch, num_samples))
     rng = jax.random.key(seed)
+
+    device_mesh = None
+    n_dev = jax.device_count()
+    if mesh != "off" and n_dev > 1:
+        from ark_tpu.parallel import make_mesh, param_shardings
+
+        if shard_vocab and n_dev % 2 == 0:
+            axes = {"data": n_dev // 2, "model": 2}
+        else:
+            shard_vocab = False
+            axes = {"data": n_dev}
+        device_mesh = make_mesh(axes)
+        params = jax.device_put(
+            params, param_shardings(params, device_mesh, shard_vocab))
+        print(f"Serving mesh: {axes} over {n_dev} devices"
+              + (" (vocab-sharded head)" if shard_vocab else ""),
+              file=sys.stderr)
 
     if kind == "decoder_only" and greedy:
         # greedy LM decode (no SamplerBank path for sample=False LMs)
@@ -71,7 +96,8 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
                            dict(cfg, sample_chunk=batch,
                                 temperature=temperature, top_p=top_p,
                                 top_k=top_k,
-                                fused_sample_strategy=sample_strategy))
+                                fused_sample_strategy=sample_strategy),
+                           mesh=device_mesh, shard_vocab=shard_vocab)
         if kind == "decoder_only":
             seqs = bank.sample_sequences(params, rng, num_samples)
         else:
@@ -108,6 +134,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-type", default=None,
                    help="override legacy model_type aliases")
+    p.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                   help="shard the serving batch over all local devices "
+                        "(auto, when >1 attached)")
+    p.add_argument("--shard-vocab", action="store_true",
+                   help="also split the embedding/logit head 2-way over a "
+                        "'model' mesh axis (big-vocab serving layout)")
     p.add_argument("--sample-strategy", default="auto",
                    choices=["auto", "gumbel", "cdf"],
                    help="fused-kernel candidate draw (cdf compiles ~45x "
@@ -121,7 +153,8 @@ def main(argv=None):
         args.checkpoint, num_samples=args.num_samples, batch=args.batch,
         temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
         greedy=args.greedy, seed=args.seed, model_type=args.model_type,
-        sample_strategy=args.sample_strategy)
+        sample_strategy=args.sample_strategy, mesh=args.mesh,
+        shard_vocab=args.shard_vocab)
     if args.output:
         with open(args.output, "w") as f:
             _emit(graphs, args.format, f)

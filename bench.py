@@ -27,15 +27,75 @@ import numpy as np
 
 BATCH = 16           # reference config batch size (configs/autoreg_wd-articles.yaml)
 TRAIN_STEPS = 256    # timed steps per measurement
-SAMPLE_BATCH = 512   # per-chunk generation batch (sample_chunk)
-SAMPLE_TOTAL = 8192  # graphs per timed request (16 chunks, one dispatch)
+SAMPLE_BATCH = int(os.environ.get("ARK_TPU_BENCH_SAMPLE_BATCH", "512"))
+SAMPLE_TOTAL = int(os.environ.get("ARK_TPU_BENCH_SAMPLE_TOTAL", "8192"))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 DTYPE = os.environ.get("ARK_TPU_BENCH_DTYPE", "float32")
+# "ARK" (GRU, the headline) or "t-ARK" (transformer; round-3 VERDICT item 4)
+MODEL = os.environ.get("ARK_TPU_BENCH_MODEL", "ARK")
+
+# MXU peak for MFU accounting. This environment's chip is a TPU v5e
+# (docs/BENCH_NOTES.md round-1 header): 197 TFLOP/s bf16. f32-typed matmuls
+# also run the MXU at the bf16 rate under JAX's DEFAULT precision (bf16
+# multiplicands, f32 accumulation) — the round-2 trace measured the CE bwd
+# matmuls at 166 TF/s effective, 84% of THIS number — so one peak serves
+# both bench dtypes.
+PEAK_TFLOPS = {"TPU v5e": 197.0}.get(
+    os.environ.get("ARK_TPU_BENCH_CHIP", "TPU v5e"), 197.0)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _vocab_padded(cfg, layout):
+    mult = int(cfg.get("vocab_pad_multiple", 1))
+    return -(-layout.vocab_size // mult) * mult
+
+
+def model_flops_per_token(cfg, layout):
+    """Analytic forward FLOPs per token, decoder trunk only (no head):
+    2 FLOPs per MAC, elementwise ops ignored (<1%). ARK: n_layers GRU
+    cells, 3 gates x (x@W + h@U) = 6 DxD matvecs. t-ARK: per layer qkv
+    in_proj (6D^2) + out_proj (2D^2) + 2-layer MLP (4*D*d_ff) + attention
+    score/value matmuls (4*L*D per token at context length L)."""
+    d = int(cfg["d_model"])
+    nl = int(cfg["n_layers"])
+    if cfg.get("model_type", "ARK") in ("ARK", "SAIL"):
+        return nl * 12 * d * d
+    d_ff = 2048  # torch nn.TransformerEncoderLayer default (models/layers.py)
+    l_ctx = layout.seq_len - 1
+    return nl * (8 * d * d + 4 * d * d_ff + 4 * l_ctx * d)
+
+
+def head_flops_per_row(cfg, layout):
+    """One [1, D] x [D, Vp] logits row: 2*D*Vp FLOPs."""
+    return 2 * int(cfg["d_model"]) * _vocab_padded(cfg, layout)
+
+
+def train_flops_per_step(cfg, layout):
+    """Analytic FLOPs of one optimizer step at batch BATCH: forward +
+    backward (= 2x forward) over the trunk on every token plus the fused
+    logits+CE head on the live (non-PAD-capped) rows; Adam is HBM-bound
+    and excluded. Reconciles with the round-2 trace: the head matmuls are
+    ~97% of these FLOPs at wd-articles scale (docs/BENCH_NOTES.md)."""
+    tokens = BATCH * (layout.seq_len - 1)
+    rows_head = int(cfg.get("ce_row_cap") or tokens)
+    fwd = tokens * model_flops_per_token(cfg, layout) \
+        + rows_head * head_flops_per_row(cfg, layout)
+    return 3 * fwd
+
+
+def sample_flops_per_graph(cfg, layout, strategy):
+    """Analytic FLOPs to generate one graph: L-1 token steps, each one
+    trunk step + the fused sampler's passes over the head (gumbel: pass A
+    + pass B = 2 reads of W; cdf: +1 LSE pass); retry rounds are ~1e-4 of
+    steps and ignored."""
+    passes = 3 if strategy == "cdf" else 2
+    per_step = model_flops_per_token(cfg, layout) \
+        + passes * head_flops_per_row(cfg, layout)
+    return (layout.seq_len - 1) * per_step
 
 
 def build_setup():
@@ -53,6 +113,11 @@ def build_setup():
         os.path.abspath(__file__)), "configs", "autoreg_wd-articles.yaml")))
     cfg["learning_rate"] = float(cfg["learning_rate"])
     cfg["compute_dtype"] = DTYPE
+    if MODEL != "ARK":
+        # t-ARK mode (round-3 VERDICT item 4): same wd-articles batch-16
+        # geometry, transformer decoder (reference DecoderOnlyTransformer,
+        # models.py:349-366)
+        cfg["model_type"] = MODEL
     cfg["vocab_pad_multiple"] = 1024
     # fastest measured variant (see docs/BENCH_NOTES.md): fused Pallas
     # logits+CE (bit-matches the XLA path; A/B'd loss-identical) and the
@@ -114,8 +179,12 @@ def measure_tpu(cfg, bundle, model):
         times.append(time.time() - t0)
     dt = sorted(times)[1]  # median of 3 (tunnel jitter)
     train_gps = n / dt
+    train_tflops = train_flops_per_step(cfg, layout) * TRAIN_STEPS / dt / 1e12
+    train_mfu = train_tflops / PEAK_TFLOPS
     log(f"[bench] train: {dt:.2f}s for {TRAIN_STEPS} steps x {BATCH} "
-        f"-> {train_gps:.0f} graphs/s (loss {loss:.3f})")
+        f"-> {train_gps:.0f} graphs/s (loss {loss:.3f}) "
+        f"| {train_tflops:.1f} TFLOP/s = {train_mfu:.1%} MFU "
+        f"(analytic FLOPs, v5e bf16 peak {PEAK_TFLOPS:.0f})")
 
     # optional reduced-precision decode path (params stay f32)
     sample_dtype = os.environ.get("ARK_TPU_BENCH_SAMPLE_DTYPE", "")
@@ -158,15 +227,30 @@ def measure_tpu(cfg, bundle, model):
     outs = [np.asarray(o) for o in outs]
     dt = (time.time() - t0) / reps
     sample_gps = SAMPLE_TOTAL / dt
+    strategy = scfg.get("fused_sample_strategy", "auto")
+    strategy = "gumbel" if strategy == "auto" else strategy
+    sample_tflops = sample_gps * sample_flops_per_graph(cfg, layout,
+                                                        strategy) / 1e12
+    sample_mfu = sample_tflops / PEAK_TFLOPS
     log(f"[bench] sample (pipelined x{reps}): {dt*1000:.0f} ms/{SAMPLE_TOTAL} "
-        f"-> {sample_gps:.0f} graphs/s")
-    return train_gps, sample_gps, sample_req_gps
+        f"-> {sample_gps:.0f} graphs/s | {sample_tflops:.1f} TFLOP/s = "
+        f"{sample_mfu:.1%} MFU (analytic FLOPs, {strategy} strategy)")
+    perf = {
+        "train_tflops": round(train_tflops, 1),
+        "train_mfu": round(train_mfu, 3),
+        "sample_tflops": round(sample_tflops, 1),
+        "sample_mfu": round(sample_mfu, 3),
+        "peak_tflops": PEAK_TFLOPS,
+    }
+    return train_gps, sample_gps, sample_req_gps, perf
 
 
 def measure_torch_baseline(cfg, bundle):
-    """Reference-procedure torch baseline on CPU (cached)."""
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
+    """Reference-procedure torch baseline on CPU (cached per model family)."""
+    cache = (BASELINE_CACHE if MODEL == "ARK"
+             else BASELINE_CACHE.replace(".json", f".{MODEL}.json"))
+    if os.path.exists(cache):
+        with open(cache) as f:
             return json.load(f)
     import torch
     import torch.nn.functional as F
@@ -192,7 +276,29 @@ def measure_torch_baseline(cfg, bundle):
             y, _ = self.gru(x)
             return self.out(y)
 
-    model = GRULM()
+    class TxfLM(torch.nn.Module):
+        """Decoder-only transformer LM with the reference's architecture
+        shape (DecoderOnlyTransformer, models.py:349-366: TransformerEncoder
+        + causal mask, torch-default dim_feedforward=2048, tied head)."""
+
+        def __init__(self):
+            super().__init__()
+            self.tok = torch.nn.Embedding(V, D)
+            self.pos = torch.nn.Embedding(L, D)
+            layer = torch.nn.TransformerEncoderLayer(
+                D, cfg.get("n_heads", 8), batch_first=True)
+            self.enc = torch.nn.TransformerEncoder(layer, NL)
+            self.out = torch.nn.Linear(D, V)
+            self.out.weight = self.tok.weight
+
+        def forward(self, s):
+            x = self.tok(s) + self.pos(torch.arange(s.shape[1]))[None]
+            mask = torch.nn.Transformer.generate_square_subsequent_mask(
+                s.shape[1])
+            y = self.enc(x, mask=mask)
+            return self.out(y)
+
+    model = GRULM() if MODEL == "ARK" else TxfLM()
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
     seq = torch.tensor(np.asarray(bundle.train.seq[:BATCH], np.int64))
 
@@ -235,8 +341,8 @@ def measure_torch_baseline(cfg, bundle):
 
     result = {"train_graphs_per_sec": train_gps,
               "sample_graphs_per_sec": sample_gps,
-              "device": "cpu", "batch": BATCH}
-    with open(BASELINE_CACHE, "w") as f:
+              "device": "cpu", "batch": BATCH, "model": MODEL}
+    with open(cache, "w") as f:
         json.dump(result, f)
     return result
 
@@ -244,9 +350,13 @@ def measure_torch_baseline(cfg, bundle):
 def main():
     cfg, bundle, model = build_setup()
     baseline = measure_torch_baseline(cfg, bundle)
-    train_gps, sample_gps, sample_req_gps = measure_tpu(cfg, bundle, model)
+    train_gps, sample_gps, sample_req_gps, perf = measure_tpu(cfg, bundle,
+                                                              model)
+    metric = ("wd_articles_train_graphs_per_sec_chip" if MODEL == "ARK" else
+              f"wd_articles_{MODEL.replace('-', '_')}"
+              "_train_graphs_per_sec_chip")
     result = {
-        "metric": "wd_articles_train_graphs_per_sec_chip",
+        "metric": metric,
         "value": round(train_gps, 1),
         "unit": "graphs/sec/chip",
         "vs_baseline": round(train_gps / baseline["train_graphs_per_sec"], 2),
@@ -260,6 +370,10 @@ def main():
         "baseline": "torch-cpu reference procedure (see bench.py docstring)",
         "dtype": DTYPE,
         "batch": BATCH,
+        # analytic-FLOPs utilization (round-3 VERDICT item 3): one auditable
+        # MFU figure next to graphs/s; docs/BENCH_NOTES.md reconciles these
+        # with the round-2 trace's per-kernel roofline shares
+        **perf,
     }
     print(json.dumps(result), flush=True)
 

@@ -164,3 +164,25 @@ def test_generate_cli(tmp_path, wd_movies_sail_ckpt):
     # 3 graph records = 3 trailing separators (graphs may be empty at this
     # tiny model's quality — the separator structure is the contract)
     assert body.count("\n") >= 3
+
+
+def test_generate_cli_sharded_serving(wd_movies_sail_ckpt):
+    """Multi-device serving in the generate CLI: the batch shards over the
+    8-device virtual mesh ('auto' default — the plain test above already
+    rides it) and --shard-vocab additionally splits the embedding/head over
+    a 2-way 'model' axis. Same contract either way: labeled graphs out."""
+    import os
+    from ark_tpu.experiments.generate import generate_graphs
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    graphs = generate_graphs(str(ckpt), num_samples=9, batch=8, seed=3,
+                             shard_vocab=True)
+    assert len(graphs) == 9
+    for g in graphs:
+        for h, r, t in g:
+            assert isinstance(h, str) and isinstance(r, str)
+    # mesh=off still serves (single-device path)
+    graphs_off = generate_graphs(str(ckpt), num_samples=4, batch=4, seed=3,
+                                 mesh="off")
+    assert len(graphs_off) == 4
