@@ -167,3 +167,44 @@ def test_bf16_adam_moments_track_f32(small_datasets):
     assert s16.opt_state.mu["tok_emb"].dtype == jnp.bfloat16
     assert s32.opt_state.mu["tok_emb"].dtype == jnp.float32
     np.testing.assert_allclose(l16, l32, rtol=0.02, atol=0.02)
+
+
+def test_bench_flops_model_sanity():
+    """bench.py's analytic FLOPs helpers (round-3 VERDICT item 3): the
+    closed forms must match a hand count at a small geometry, and the
+    wd-articles-scale ratios must show the head dominating (the round-2
+    trace's CE-dominated step)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class Layout:
+        seq_len = 86
+        vocab_size = 58806
+
+    cfg = dict(model_type="ARK", d_model=512, n_layers=3,
+               vocab_pad_multiple=1024)
+    # GRU: 3 layers x 3 gates x 2 matvecs x (2*512*512 FLOPs)
+    assert bench.model_flops_per_token(cfg, Layout) == 3 * 12 * 512 * 512
+    v_pad = 59392  # 58806 padded to 1024
+    assert bench.head_flops_per_row(cfg, Layout) == 2 * 512 * v_pad
+    # train: 3x forward; head on capped rows only
+    cfg["ce_row_cap"] = 768
+    tokens = bench.BATCH * 85
+    want = 3 * (tokens * 3 * 12 * 512 * 512 + 768 * 2 * 512 * v_pad)
+    assert bench.train_flops_per_step(cfg, Layout) == want
+    # sampling: gumbel = 2 head passes, cdf = 3
+    g = bench.sample_flops_per_graph(cfg, Layout, "gumbel")
+    c = bench.sample_flops_per_graph(cfg, Layout, "cdf")
+    assert c > g
+    assert g == 85 * (3 * 12 * 512 * 512 + 2 * 2 * 512 * v_pad)
+    # transformer trunk: per layer 8D^2 + 4*D*d_ff + 4*L*D
+    cfg_t = dict(cfg, model_type="t-ARK")
+    d = 512
+    assert bench.model_flops_per_token(cfg_t, Layout) == \
+        3 * (8 * d * d + 4 * d * 2048 + 4 * 85 * d)
