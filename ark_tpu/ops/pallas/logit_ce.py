@@ -180,7 +180,11 @@ def _bwd_kernel(ofs_ref, x_ref, w_ref, b_ref, tgt_ref, lse_ref, g1_ref,
     tgt = tgt_ref[:, 0].reshape(n, 1)
     local = tgt - j * vb - ofs
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
-    onehot = (cols == local).astype(jnp.float32)
+    # in-vocab guard: a (nonsensical) target pointing at a masked padding
+    # column must carry zero gradient — the forward's where() pins that
+    # logit to the -1e30 constant, so its cotangent is 0, exactly like the
+    # XLA path's sliced logits
+    onehot = ((cols == local) & (cols_g < v_true)).astype(jnp.float32)
 
     if combined:
         dlogits = (p - onehot) * g1_ref[:]            # [N, VB]

@@ -236,3 +236,55 @@ def test_compute_ce_row_cap_per_shard():
     assert cap == 16  # bound 12 -> align 8 -> 16
     # indivisible batch -> capping disabled
     assert compute_ce_row_cap(seq, 0, 4, align=8, n_shards=3) == 0
+
+
+def test_fused_ce_lse_t_forward_and_grads_match_xla():
+    """Kernel-level equivalence for the vocab-sharded building block
+    (fused_ce_lse_t, round-3 VERDICT item 1): per-shard (logsumexp,
+    target-logit) over a W slice at a NONZERO global column offset, and
+    its custom VJP with INDEPENDENT cotangents for lse and t
+    (combined=False backward), against the plain XLA computation of the
+    same shard-restricted statistics."""
+    from ark_tpu.ops.pallas.logit_ce import fused_ce_lse_t
+
+    x, w, b, t = _data(2)
+    v_true = 500                      # cuts into the second half
+    ofs = V // 2                      # this "shard" owns columns [256, 512)
+    w_s, b_s = w[ofs:], b[ofs:]       # local slice [256, D]
+
+    def ref(x, w_s, b_s):
+        logits = x @ w_s.T + b_s      # [N, 256] local columns
+        cols = jnp.arange(ofs, V)[None, :]
+        logits = jnp.where(cols < v_true, logits, -1e30)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        local = t[:, None] - ofs
+        hit = jnp.arange(V - ofs)[None, :] == local
+        tl = jnp.sum(jnp.where(hit, logits, 0.0), axis=-1)
+        return lse, tl
+
+    with pltpu.force_tpu_interpret_mode():
+        lse_got, t_got = fused_ce_lse_t(x, w_s, b_s, t, ofs, VB, v_true)
+    lse_want, t_want = ref(x, w_s, b_s)
+    np.testing.assert_allclose(np.asarray(lse_got), np.asarray(lse_want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_want),
+                               rtol=1e-5, atol=1e-5)
+
+    # independent per-row cotangents exercise the combined=False backward
+    g1 = jnp.linspace(0.2, 1.8, N)
+    g2 = jnp.linspace(-1.0, 1.0, N)
+
+    def loss_fused(x, w_s, b_s):
+        lse, tl = fused_ce_lse_t(x, w_s, b_s, t, ofs, VB, v_true)
+        return jnp.sum(lse * g1 + tl * g2)
+
+    def loss_ref(x, w_s, b_s):
+        lse, tl = ref(x, w_s, b_s)
+        return jnp.sum(lse * g1 + tl * g2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w_s, b_s)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_s, b_s)
+    for a, c, name in zip(g_fused, g_ref, "x w b".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
