@@ -439,3 +439,33 @@ def test_sampler_cdf_strategy_end_to_end():
         hits = np.flatnonzero(row == eos)
         if hits.size:  # after the first EOS the row is frozen to EOS
             assert (row[hits[0]:] == eos).all()
+
+
+def test_sharded_sampler_data_x_model_mesh():
+    """The combined geometry the north star names ({'data': 2, 'model': 2}):
+    batch rows split over 'data' while each vocab shard streams its head
+    slice — interpret-mode Gumbel degeneracy must still equal the unsharded
+    argmax row-for-row (cross-shard merges only ever see their data shard's
+    rows)."""
+    from jax.sharding import PartitionSpec as P
+    from ark_tpu.parallel import make_mesh
+    from ark_tpu.ops.pallas.sample_step import fused_top_p_sample_sharded
+
+    y, w, bias = _data(4)
+    v_true = 500
+    logits = y @ w.T + bias
+    logits = jnp.where(jnp.arange(V) < v_true, logits, -1e30)
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    mesh = make_mesh({"data": 2, "model": 2})
+
+    def local(y, w, b):
+        return fused_top_p_sample_sharded(y, w, b, jnp.int32(7), 0.9,
+                                          v_true=v_true, vblock=VB)
+
+    f = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("model", None), P("model")),
+        out_specs=P("data"), check_vma=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(f(y, w, bias))
+    np.testing.assert_array_equal(got, want)
