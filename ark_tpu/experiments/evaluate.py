@@ -29,7 +29,8 @@ from ark_tpu.utils.checkpoint import load_checkpoint, to_device_tree
 
 
 def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
-                        num_samples: int | None = None, seed: int = 0) -> dict:
+                        num_samples: int | None = None, seed: int = 0,
+                        mesh: str = "auto") -> dict:
     ckpt = load_checkpoint(ckpt_path)
     config = dict(ckpt["config"])
     model = build_model(config)
@@ -38,11 +39,26 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
     layout = bundle.layout
     is_vae = model.kind == "vae"
 
+    # multi-device evaluation: batch over 'data' (same auto-mesh policy as
+    # the trainer; eval loss, compression and sampling all ride it)
+    device_mesh = None
+    n_dev = jax.device_count()
+    if mesh != "off" and n_dev > 1 \
+            and int(config["batch_size"]) % n_dev == 0:
+        from ark_tpu.parallel import make_mesh, replicate
+
+        device_mesh = make_mesh({"data": n_dev})
+        params = replicate(params, device_mesh)
+
     data_split = "test" if split == "test" else "val"
     rng = jax.random.key(seed)
     rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
 
     triples, seq, w = bundle.device_eval(data_split, config["batch_size"])
+    if device_mesh is not None:
+        from ark_tpu.parallel import replicate
+
+        triples, seq, w = replicate((triples, seq, w), device_mesh)
     if "ce_row_cap_eval" not in config and layout.vocab_size >= 8192:
         # live-row bound for the fused-CE eval path (same skipping the
         # trainer ships; checkpoints from older runs lack the key)
@@ -52,16 +68,16 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
         config["ce_row_cap_eval"] = compute_ce_row_cap(
             np.asarray(seq), layout.special_tokens["PAD"],
             config["batch_size"], row_weights=np.asarray(w))
-    _, eval_epoch = make_epoch_fns(model, layout, config)
+    _, eval_epoch = make_epoch_fns(model, layout, config, mesh=device_mesh)
     m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
 
     stats = posterior_bits(model, params, getattr(bundle, data_split), layout,
                            sample_frac=float(config.get("sample_frac", 0.1)),
-                           rng=k_comp)
+                           rng=k_comp, mesh=device_mesh)
 
     target_n = int(num_samples
                    or config.get("num_generated_latent_graphs", 1000))
-    sampler_bank = SamplerBank(model, layout, config)
+    sampler_bank = SamplerBank(model, layout, config, mesh=device_mesh)
     title = "graphs from random latent" if is_vae else "ARK samples"
     res, graphs = sample_and_evaluate(model, params, bundle, config, k_sample,
                                       target_n, sampler_bank, title)
@@ -98,9 +114,13 @@ def main(argv=None):
                         choices=["validation", "test"])
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                        help="shard evaluation over all local devices "
+                             "(auto, when >1 attached and batch divides)")
     args = parser.parse_args(argv)
     out = evaluate_checkpoint(args.checkpoint, split=args.split,
-                              num_samples=args.num_samples, seed=args.seed)
+                              num_samples=args.num_samples, seed=args.seed,
+                              mesh=args.mesh)
     print(json.dumps(out))
     return out
 
