@@ -220,3 +220,22 @@ def test_kgvae_compat_entrypoint(small_datasets, tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Training and evaluation completed!" in out.stdout
+
+
+def test_train_cli_vocab_sharded_mesh(small_datasets, tmp_path):
+    """Full CLI training on an explicit 2-D mesh (mesh_axes + shard_vocab):
+    the trainer places params vocab-sharded, the epoch fns / compression /
+    sampling all ride the mesh, and the run produces the same artifact
+    surface as the single-device path."""
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=2,
+                            mesh_axes={"data": 2, "model": 2},
+                            shard_vocab=True)
+    ckpt_dir = str(tmp_path / "ckpts")
+    final = main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    assert "final_test/loss" in final
+    assert 0.0 <= final["final_test/validity_rate"] <= 1.0
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    assert os.path.exists(
+        os.path.join(run_dir, "syn-paths_ARK_best_model.pt"))
