@@ -436,3 +436,48 @@ def test_pallas_gru_under_mesh():
                        jax.random.key(5), 1e-2, 1.0)
     np.testing.assert_allclose(float(ms["loss"]), float(mx["loss"]),
                                rtol=2e-3)
+
+
+def test_full_kernel_stack_on_combined_mesh():
+    """ALL flagship Pallas kernels together on the north-star combined
+    geometry ({'data': 2, 'model': 2}): the per-layer GRU runs per data
+    shard, the fused logits+CE streams per vocab shard with the cross-
+    shard logsumexp merge, and the whole train step equals the
+    single-device XLA step exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ark_tpu.train import create_train_state, make_train_step
+    from ark_tpu.parallel import make_parallel_train_step
+
+    layout = build_vocab_layout(900, 4, 3, 3, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=16, vocab_pad_multiple=1024,
+               use_pallas_gru="perlayer", use_fused_ce=True)
+    mesh = make_mesh({"data": 2, "model": 2})
+    rng = np.random.default_rng(3)
+    triples = np.stack([rng.integers(0, 900, (16, 3)),
+                        rng.integers(0, 4, (16, 3)),
+                        rng.integers(0, 900, (16, 3))],
+                       axis=-1).astype(np.int32)
+    from ark_tpu.train.steps import build_seq_from_triples
+    seq = np.asarray(build_seq_from_triples(
+        jnp.asarray(triples), layout.ent_base, layout.rel_base, 1, 2))
+
+    m = build_model(cfg, mesh=mesh)
+    step, ps, pb = make_parallel_train_step(m, layout, cfg, mesh,
+                                            shard_vocab=True)
+    state = ps(create_train_state(m, jax.random.key(0)))
+    with pltpu.force_tpu_interpret_mode():
+        _, mf = step(state, pb(triples), pb(seq), jax.random.key(5),
+                     1e-2, 1.0)
+        loss = float(mf["loss"])
+
+    cfg_x = dict(cfg, use_pallas_gru=False, use_fused_ce=False)
+    m_x = build_model(cfg_x)
+    sx = create_train_state(m_x, jax.random.key(0))
+    _, mx = make_train_step(m_x, pad_id=0, config=cfg_x)(
+        sx, jnp.asarray(triples), jnp.asarray(seq), jax.random.key(5),
+        1e-2, 1.0)
+    np.testing.assert_allclose(loss, float(mx["loss"]), rtol=1e-5, atol=1e-6)
