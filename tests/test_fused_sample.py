@@ -469,3 +469,75 @@ def test_sharded_sampler_data_x_model_mesh():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(f(y, w, bias))
     np.testing.assert_array_equal(got, want)
+
+
+def test_cdf_raw_sharded_stitching_matches_unsharded_bitwise():
+    """The sharded CDF draw's raw mode (global column offset + initial
+    prefix carry c0 + -1 not-found sentinels + fallback-logit accumulator)
+    stitches EXACTLY into the unsharded kernel's result when fed the same
+    global lse and the true carry: shard 1's first block computes
+    c0 + prefix(p) with bit-identical summands, so the merged
+    (first-found-index, logit) must equal the unsharded (idx, clog)
+    BITWISE — including a beyond-f32-total target resolving to the
+    owner shard's v_true-1 fallback."""
+    import ark_tpu.ops.pallas.sample_step as ss
+
+    b, d, v, vb, v_true, k = 16, 128, 512, 128, 500, 4
+    y, w, bias = _data(9, b=b)
+    half = v // 2
+
+    with pltpu.force_tpu_interpret_mode():
+        lse = ss._compute_lse(y, w, bias, v_true=v_true, inv_temp=1.0,
+                              vblock=vb)
+        # targets: random + one beyond the f32 prefix total (fallback)
+        rng = np.random.default_rng(11)
+        u = rng.uniform(0.05, 0.95, size=(b, k)).astype(np.float32)
+        u[:, 2] = 2.0  # > any prefix total -> v_true-1 fallback
+        u = jnp.asarray(u)
+
+        want_idx, want_clog = ss._draw_candidates_cdf(
+            y, w, bias, lse, u, v_true=v_true, k_cands=k, inv_temp=1.0,
+            vblock=vb)
+
+        # shard 0: columns [0, 256), zero carry
+        bi0, bl0, ll0 = ss._draw_candidates_cdf(
+            y, w[:half], bias[:half], lse, u, v_true=v_true, k_cands=k,
+            inv_temp=1.0, vblock=vb, col_ofs=0, raw=True)
+        # the true carry after shard 0 = its blocks' accumulated prefix,
+        # reproduced with the kernel's own op order (flash p + HS prefix)
+        carry = jnp.zeros((b, 1))
+        for j in range(half // vb):
+            lg = jax.lax.dot_general(y, w[j * vb:(j + 1) * vb],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            lg = lg + bias[j * vb:(j + 1) * vb].reshape(1, vb)
+            cols_g = jax.lax.broadcasted_iota(jnp.int32, (b, vb), 1) + j * vb
+            lg = jnp.where(cols_g < v_true, lg, ss.NEG)
+            p = jnp.exp(lg - lse)
+            x = p
+            dd = 1
+            while dd < vb:
+                x = x + jnp.pad(x, ((0, 0), (dd, 0)))[:, :vb]
+                dd *= 2
+            carry = carry + x[:, -1:]
+        # shard 1: columns [256, 512), carry from shard 0
+        bi1, bl1, ll1 = ss._draw_candidates_cdf(
+            y, w[half:], bias[half:], lse, u, v_true=v_true, k_cands=k,
+            inv_temp=1.0, vblock=vb, col_ofs=half, c0=carry, raw=True)
+
+    BIG = np.int32(1 << 30)
+    bi0, bi1 = np.asarray(bi0), np.asarray(bi1)
+    f0 = np.where(bi0 >= 0, bi0, BIG)
+    f1 = np.where(bi1 >= 0, bi1, BIG)
+    idx_min = np.minimum(f0, f1)
+    found = idx_min < BIG
+    clog_hit = (np.where(f0 == idx_min, np.asarray(bl0), 0.0)
+                + np.where(f1 == idx_min, np.asarray(bl1), 0.0))
+    # owner of column v_true-1 is shard 1; shard 0's ll stays 0
+    assert (np.asarray(ll0) == 0.0).all()
+    idx = np.where(found, idx_min, v_true - 1)
+    clog = np.where(found, clog_hit, np.asarray(ll1))
+
+    np.testing.assert_array_equal(idx, np.asarray(want_idx))
+    np.testing.assert_array_equal(clog, np.asarray(want_clog))
+    assert (np.asarray(want_idx)[:, 2] == v_true - 1).all()  # fallback hit
