@@ -97,10 +97,9 @@ def _build_bits_fn(model, pad_id, mesh=None, shard_vocab=False):
                        ).astype(jnp.int32)
                 lse_s, t_s = fused_ce_lse_t_rows(x, wf, bf, t, pad_id,
                                                  v_true, ofs)
-                m = jax.lax.pmax(lse_s, "model")
-                lse = m + jnp.log(
-                    jax.lax.psum(jnp.exp(lse_s - m), "model"))
-                nll = lse - jax.lax.psum(t_s, "model")
+                from ark_tpu.ops.collectives import merge_lse
+
+                nll = merge_lse(lse_s, "model") - jax.lax.psum(t_s, "model")
             else:
                 nll = fused_ce_nll_rows(x, wf, bf, t, pad_id, v_true)
             return nll.reshape(tgt.shape)

@@ -33,21 +33,29 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
                         mesh: str = "auto") -> dict:
     ckpt = load_checkpoint(ckpt_path)
     config = dict(ckpt["config"])
-    model = build_model(config)
+
+    # multi-device evaluation: batch over 'data' (same auto-mesh policy as
+    # the trainer; eval loss, compression and sampling all ride it). The
+    # mesh must exist BEFORE build_model — the Pallas GRU is shard_map-
+    # wrapped per data shard only when the model knows the mesh (Mosaic
+    # custom calls are not GSPMD-partitionable, models/api.py)
+    device_mesh = None
+    n_dev = jax.device_count()
+    if mesh != "off" and n_dev > 1 \
+            and int(config["batch_size"]) % n_dev == 0:
+        from ark_tpu.parallel import make_mesh
+
+        device_mesh = make_mesh({"data": n_dev})
+
+    model = build_model(config, mesh=device_mesh)
     params = to_device_tree(ckpt["model_state_dict"])
     bundle = DataBundle(config)
     layout = bundle.layout
     is_vae = model.kind == "vae"
 
-    # multi-device evaluation: batch over 'data' (same auto-mesh policy as
-    # the trainer; eval loss, compression and sampling all ride it)
-    device_mesh = None
-    n_dev = jax.device_count()
-    if mesh != "off" and n_dev > 1 \
-            and int(config["batch_size"]) % n_dev == 0:
-        from ark_tpu.parallel import make_mesh, replicate
+    if device_mesh is not None:
+        from ark_tpu.parallel import replicate
 
-        device_mesh = make_mesh({"data": n_dev})
         params = replicate(params, device_mesh)
 
     data_split = "test" if split == "test" else "val"
@@ -65,9 +73,14 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
         import numpy as np
 
         from ark_tpu.ops.losses import compute_ce_row_cap
+        # the fused kernel consumes row_cap as a PER-SHARD bound under a
+        # mesh (same n_shards convention as the trainer, train/loop.py)
+        n_shards = (1 if device_mesh is None
+                    else dict(device_mesh.shape).get("data", 1))
         config["ce_row_cap_eval"] = compute_ce_row_cap(
             np.asarray(seq), layout.special_tokens["PAD"],
-            config["batch_size"], row_weights=np.asarray(w))
+            config["batch_size"], row_weights=np.asarray(w),
+            n_shards=n_shards)
     _, eval_epoch = make_epoch_fns(model, layout, config, mesh=device_mesh)
     m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
 

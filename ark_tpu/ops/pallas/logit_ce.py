@@ -447,12 +447,9 @@ def _fused_ce_sums_sharded(y, w, b, targets, pad_id, v_true, vblock,
     ofs = (jax.lax.axis_index(model_axis) * w.shape[0]).astype(jnp.int32)
     lse_s, t_s = fused_ce_lse_t_rows(x, wf, bf, tgt, pad_id, v_true, ofs,
                                      vblock, mm_dtype)
-    # the max shift is only for numerical range; its gradient contributions
-    # cancel exactly in d/d lse_s [m + log(sum exp(lse_s - m))], so
-    # stop_gradient keeps the math exact AND sidesteps pmax's missing
-    # differentiation rule
-    m = jax.lax.pmax(jax.lax.stop_gradient(lse_s), model_axis)
-    lse = m + jnp.log(jax.lax.psum(jnp.exp(lse_s - m), model_axis))
+    from ark_tpu.ops.collectives import merge_lse
+
+    lse = merge_lse(lse_s, model_axis)
     t = jax.lax.psum(t_s, model_axis)
     nll = lse - t
     mask = (tgt != pad_id).astype(jnp.float32)

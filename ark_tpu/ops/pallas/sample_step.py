@@ -584,9 +584,10 @@ def _accept_loop(draw, seed, top_p, max_rounds):
 
 
 def _merge_lse(lse_local, axis_name):
-    """Cross-shard flash-LSE merge (per-row): max shift + psum of exps."""
-    m = jax.lax.pmax(lse_local, axis_name)
-    return m + jnp.log(jax.lax.psum(jnp.exp(lse_local - m), axis_name))
+    """Cross-shard flash-LSE merge (per-row): ops/collectives.merge_lse."""
+    from ark_tpu.ops.collectives import merge_lse
+
+    return merge_lse(lse_local, axis_name)
 
 
 def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,

@@ -256,7 +256,10 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
             w_head, b_head = model.head(params)
             nd = 1 if mesh is None else dict(mesh.shape).get("data", 1)
             nm = 1 if mesh is None else dict(mesh.shape).get("model", 1)
-            vocab_sharded = bool(shard_vocab and nm > 1)
+            # the sharded kernel's shard_map specs need a 'data' axis (size
+            # 1 is fine); a model-only mesh falls back to the XLA path
+            vocab_sharded = bool(shard_vocab and nm > 1
+                                 and "data" in dict(mesh.shape))
             if vocab_sharded:
                 # per-(data, vocab)-shard kernel shapes: each device holds
                 # a V/nm head slice and a batch/nd row block

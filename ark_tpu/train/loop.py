@@ -130,6 +130,14 @@ class SamplerBank:
         # vocab-sharded head params -> the fused sampling kernel streams
         # per-shard head slices with cross-shard merges (sample/samplers.py)
         self.shard_vocab = bool(shard_vocab)
+        if self.shard_vocab and (mesh is None
+                                 or "data" not in dict(mesh.shape)):
+            # fail at construction (training/serving startup), not at the
+            # first sampling call: the sharded fused sampler's shard_map
+            # specs require a 'data' axis (size 1 is fine)
+            raise ValueError("shard_vocab sampling requires a mesh with a "
+                             "'data' axis (got "
+                             f"{None if mesh is None else dict(mesh.shape)})")
         # fail at construction (training startup), not at the first
         # sampling eval epochs later — config files bypass CLI guards
         strat = str(config.get("fused_sample_strategy", "auto"))
@@ -330,6 +338,13 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         from ark_tpu.parallel import make_mesh
         axes = dict(config.get("mesh_axes") or {"data": n_dev})
         shard_vocab = bool(config.get("shard_vocab", False)) and "model" in axes
+        if shard_vocab and "data" not in axes:
+            # fail at startup, not at the first verification epoch hours in:
+            # the vocab-sharded kernels' shard_map specs and per-data-shard
+            # seed decorrelation require a 'data' axis (size 1 is fine)
+            raise ValueError(
+                "shard_vocab requires a 'data' axis in mesh_axes (use e.g. "
+                f"{{'data': 1, 'model': {axes.get('model')}}}); got {axes}")
         if int(config["batch_size"]) % int(axes.get("data", 1)) == 0:
             mesh = make_mesh(axes)
             print(f"Device mesh: {axes} over {n_dev} devices"

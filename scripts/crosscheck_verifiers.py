@@ -73,7 +73,9 @@ def _labeled_graphs(name, split):
 
 def crosscheck(name, split, limit=0, max_print=10):
     """Returns (n_checked, n_invalid, n_native_disagree, n_pkg_disagree,
-    pkg_available)."""
+    pkg_available). n_native_disagree is None when the native engine is
+    unavailable (no C++ toolchain) — a SKIPPED leg, distinct from
+    agreement; a crashing engine is a real bug and propagates."""
     from ark_tpu.eval.verifiers import get_verifier
 
     idx_graphs, labeled, e2i, r2i = _labeled_graphs(name, split)
@@ -83,12 +85,17 @@ def crosscheck(name, split, limit=0, max_print=10):
     repo_ok = [repo.check_rules_for_graph(g) for g in labeled]
     n_invalid = repo_ok.count(False)
 
-    # native C++ engine agreement (skipped without a compiler)
-    n_native_dis = 0
-    try:
-        from ark_tpu.native.engine import verify_graphs_native
+    # native C++ engine agreement — availability is checked EXPLICITLY
+    # (engine._load returns None without a toolchain); any exception from
+    # the engine itself is a genuine defect and must fail the harness
+    from ark_tpu.native import engine as native_engine
 
-        native_ok = verify_graphs_native(name, idx_graphs, e2i, r2i)
+    if native_engine._load() is None:
+        n_native_dis = None
+    else:
+        n_native_dis = 0
+        native_ok = native_engine.verify_graphs_native(name, idx_graphs,
+                                                       e2i, r2i)
         shown = 0
         for i, (a, b) in enumerate(zip(repo_ok, native_ok)):
             if bool(a) != bool(b):
@@ -98,9 +105,6 @@ def crosscheck(name, split, limit=0, max_print=10):
                           f"python={a} native={bool(b)} "
                           f"violations={repo.evaluate_graph(labeled[i])}")
                     shown += 1
-    except (AssertionError, Exception) as e:  # noqa: BLE001 - report & go on
-        print(f"  native engine unavailable ({type(e).__name__}: {e}); "
-              "python-only check")
 
     # ground-truth package agreement (skipped when not importable)
     pkg = _load_package_verifier(name)
@@ -141,12 +145,13 @@ def main(argv=None):
             n, n_inv, n_nat, n_pkg, pkg_ok = crosscheck(name, split,
                                                         args.limit)
             any_pkg |= pkg_ok
-            status = "OK" if (n_inv == 0 and n_nat == 0 and n_pkg == 0) \
+            status = "OK" if (n_inv == 0 and not n_nat and n_pkg == 0) \
                 else "FAIL"
             failed |= status == "FAIL"
             print(f"[{status}] {name}/{split}: {n} graphs, "
                   f"{n - n_inv} valid ({100.0 * (n - n_inv) / max(n, 1):.2f}%), "
-                  f"native disagreements: {n_nat}, "
+                  f"native disagreements: "
+                  f"{'skipped (no C++ toolchain)' if n_nat is None else n_nat}, "
                   f"package disagreements: "
                   f"{n_pkg if pkg_ok else 'n/a (package not installed)'}")
     if not any_pkg:
