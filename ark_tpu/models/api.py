@@ -109,6 +109,18 @@ def build_model(config: dict, mesh=None) -> Model:
         use_pallas_gru = _pg
     else:
         use_pallas_gru = bool(_pg)
+    # Pallas embedding-gather (ops/pallas/embed_gather.py; BASELINE.json
+    # kernel target). 'auto' currently resolves to off: the A/B vs XLA's
+    # gather (scripts/bench_embed_gather.py) decides whether it defaults on.
+    # Forced off under a mesh: Mosaic custom calls aren't GSPMD-partitionable
+    # and the gather sites sit outside the GRU shard_map.
+    _pe = config.get("use_pallas_embed", False)
+    if _pe == "auto" or mesh is not None:
+        use_pallas_embed = False
+    elif _pe in ("block", "dma"):
+        use_pallas_embed = _pe
+    else:
+        use_pallas_embed = bool(_pe)
 
     if mt == "ARK":
         def init(rng):
@@ -119,7 +131,8 @@ def build_model(config: dict, mesh=None) -> Model:
             return decoders.gru_lm_apply(
                 params, seq, dropout_rate=dec_dropout, rng=rng,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size, use_pallas=use_pallas_gru, mesh=mesh)
+                vocab_out=vocab_size, use_pallas=use_pallas_gru, mesh=mesh,
+                use_pallas_embed=use_pallas_embed)
 
         def decode_state(params, batch):
             return decoders.gru_lm_state(params, batch, dtype)
@@ -135,7 +148,8 @@ def build_model(config: dict, mesh=None) -> Model:
                 return decoders.gru_lm_features(
                     params, seq, dropout_rate=dec_dropout, rng=rng,
                     deterministic=deterministic, dtype=dtype,
-                    use_pallas=use_pallas_gru, mesh=mesh)
+                    use_pallas=use_pallas_gru, mesh=mesh,
+                    use_pallas_embed=use_pallas_embed)
 
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
@@ -159,7 +173,7 @@ def build_model(config: dict, mesh=None) -> Model:
             return decoders.txf_lm_apply(
                 params, seq, n_heads, dropout_rate=dec_dropout, rng=rng,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size)
+                vocab_out=vocab_size, use_pallas_embed=use_pallas_embed)
 
         def decode_state(params, batch):
             return decoders.txf_lm_state(params, batch, seq_len, dtype)
@@ -174,7 +188,8 @@ def build_model(config: dict, mesh=None) -> Model:
             def features(params, seq, rng=None, deterministic=True):
                 return decoders.txf_lm_features(
                     params, seq, n_heads, dropout_rate=dec_dropout, rng=rng,
-                    deterministic=deterministic, dtype=dtype)
+                    deterministic=deterministic, dtype=dtype,
+                    use_pallas_embed=use_pallas_embed)
 
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
@@ -207,8 +222,9 @@ def build_model(config: dict, mesh=None) -> Model:
             }
 
         def encode(params, triples, rng):
-            return encoders.mlp_encoder_apply(params["enc"], triples, rng,
-                                              pad_rid=pad_rid, dtype=dtype)
+            return encoders.mlp_encoder_apply(
+                params["enc"], triples, rng, pad_rid=pad_rid, dtype=dtype,
+                use_pallas_embed=use_pallas_embed)
 
         def apply(params, triples, seq, *, rng, deterministic=True):
             k_enc, k_dec = jax.random.split(rng)
@@ -216,7 +232,8 @@ def build_model(config: dict, mesh=None) -> Model:
             logits = decoders.gru_cond_apply(
                 params["dec"], z, seq, dropout_rate=dec_dropout, rng=k_dec,
                 deterministic=deterministic, tied=tied, dtype=dtype,
-                vocab_out=vocab_size, use_pallas=use_pallas_gru, mesh=mesh)
+                vocab_out=vocab_size, use_pallas=use_pallas_gru, mesh=mesh,
+                use_pallas_embed=use_pallas_embed)
             return logits, mu, logv
 
         def decode_state(params, z):
@@ -235,7 +252,8 @@ def build_model(config: dict, mesh=None) -> Model:
                 y = decoders.gru_cond_features(
                     params["dec"], z, seq, dropout_rate=dec_dropout,
                     rng=k_dec, deterministic=deterministic, dtype=dtype,
-                    use_pallas=use_pallas_gru, mesh=mesh)
+                    use_pallas=use_pallas_gru, mesh=mesh,
+                    use_pallas_embed=use_pallas_embed)
                 return y, mu, logv
 
             def head(params):
@@ -266,14 +284,16 @@ def build_model(config: dict, mesh=None) -> Model:
     def encode(params, triples, rng, deterministic=True):
         return encoders.txf_encoder_apply(
             params["enc"], triples, rng, n_heads, pad_rid=pad_rid,
-            deterministic=deterministic, dtype=dtype)
+            deterministic=deterministic, dtype=dtype,
+            use_pallas_embed=use_pallas_embed)
 
     def apply(params, triples, seq, *, rng, deterministic=True):
         k_enc, k_dec = jax.random.split(rng)
         z, mu, logv = encode(params, triples, k_enc, deterministic=deterministic)
         logits = decoders.txf_cond_apply(
             params["dec"], z, seq, n_heads, rng=k_dec,
-            deterministic=deterministic, dtype=dtype, vocab_out=vocab_size)
+            deterministic=deterministic, dtype=dtype, vocab_out=vocab_size,
+            use_pallas_embed=use_pallas_embed)
         return logits, mu, logv
 
     def decode_state(params, z):
@@ -290,7 +310,8 @@ def build_model(config: dict, mesh=None) -> Model:
                              deterministic=deterministic)
         y = decoders.txf_cond_features(
             params["dec"], z, seq, n_heads, rng=k_dec,
-            deterministic=deterministic, dtype=dtype)
+            deterministic=deterministic, dtype=dtype,
+            use_pallas_embed=use_pallas_embed)
         return y, mu, logv
 
     def head(params):

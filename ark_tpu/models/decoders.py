@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ark_tpu.models.initializers import embedding_init, linear_init, uniform_fan
 from ark_tpu.models.gru import gru_apply, gru_init, gru_step
+from ark_tpu.ops.embed import take_rows
 from ark_tpu.models.layers import (
     causal_mask,
     decoder_layer,
@@ -146,10 +147,11 @@ def gru_lm_init(key, vocab_size, d_model, n_layers, seq_len, tie_weights=True):
 
 def gru_lm_features(p, seq, *, dropout_rate=0.1, rng=None,
                     deterministic=True, dtype=jnp.float32, use_pallas=False,
-                    mesh=None):
+                    mesh=None, use_pallas_embed=False):
     """Hidden states before the output head (for the fused-CE kernel)."""
     b, l = seq.shape
-    x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
+    x = (take_rows(p["tok_emb"], seq, use_pallas_embed)
+         + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     y, _ = gru_apply(p["gru"], x, dropout_rate=dropout_rate, rng=rng,
                      deterministic=deterministic, use_pallas=use_pallas,
                      mesh=mesh)
@@ -158,10 +160,11 @@ def gru_lm_features(p, seq, *, dropout_rate=0.1, rng=None,
 
 def gru_lm_apply(p, seq, *, dropout_rate=0.1, rng=None, deterministic=True,
                  tied=True, dtype=jnp.float32, vocab_out=None,
-                 use_pallas=False, mesh=None):
+                 use_pallas=False, mesh=None, use_pallas_embed=False):
     y = gru_lm_features(p, seq, dropout_rate=dropout_rate, rng=rng,
                         deterministic=deterministic, dtype=dtype,
-                        use_pallas=use_pallas, mesh=mesh)
+                        use_pallas=use_pallas, mesh=mesh,
+                        use_pallas_embed=use_pallas_embed)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
@@ -201,9 +204,11 @@ def txf_lm_init(key, vocab_size, d_model, n_heads, n_layers, seq_len,
 
 
 def txf_lm_features(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                    deterministic=True, dtype=jnp.float32):
+                    deterministic=True, dtype=jnp.float32,
+                    use_pallas_embed=False):
     b, l = seq.shape
-    x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
+    x = (take_rows(p["tok_emb"], seq, use_pallas_embed)
+         + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     mask = causal_mask(l)
     rngs = (list(jax.random.split(rng, len(p["txf"]))) if rng is not None
             else [None] * len(p["txf"]))
@@ -216,9 +221,10 @@ def txf_lm_features(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
 
 def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
                  deterministic=True, tied=True, dtype=jnp.float32,
-                 vocab_out=None):
+                 vocab_out=None, use_pallas_embed=False):
     x = txf_lm_features(p, seq, n_heads, dropout_rate=dropout_rate, rng=rng,
-                        deterministic=deterministic, dtype=dtype)
+                        deterministic=deterministic, dtype=dtype,
+                        use_pallas_embed=use_pallas_embed)
     return _head_apply(p["out"], p["tok_emb"], x, tied, vocab_out)
 
 
@@ -266,10 +272,10 @@ def _gru_cond_h0(p, z, n_layers, dtype):
 
 def gru_cond_features(p, z, seq, *, dropout_rate=0.1, rng=None,
                       deterministic=True, dtype=jnp.float32,
-                      use_pallas=False, mesh=None):
+                      use_pallas=False, mesh=None, use_pallas_embed=False):
     """Hidden states before the output head (for the fused-CE kernel)."""
     n_layers = len(p["gru"]["layers"])
-    x = p["tok_emb"][seq].astype(dtype)
+    x = take_rows(p["tok_emb"], seq, use_pallas_embed).astype(dtype)
     h0 = _gru_cond_h0(p, z, n_layers, dtype)
     y, _ = gru_apply(p["gru"], x, h0, dropout_rate=dropout_rate, rng=rng,
                      deterministic=deterministic, use_pallas=use_pallas,
@@ -279,10 +285,12 @@ def gru_cond_features(p, z, seq, *, dropout_rate=0.1, rng=None,
 
 def gru_cond_apply(p, z, seq, *, dropout_rate=0.1, rng=None,
                    deterministic=True, tied=True, dtype=jnp.float32,
-                   vocab_out=None, use_pallas=False, mesh=None):
+                   vocab_out=None, use_pallas=False, mesh=None,
+                   use_pallas_embed=False):
     y = gru_cond_features(p, z, seq, dropout_rate=dropout_rate, rng=rng,
                           deterministic=deterministic, dtype=dtype,
-                          use_pallas=use_pallas, mesh=mesh)
+                          use_pallas=use_pallas, mesh=mesh,
+                          use_pallas_embed=use_pallas_embed)
     return _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
 
 
@@ -322,10 +330,12 @@ def txf_cond_memory(p, z, dtype=jnp.float32):
 
 
 def txf_cond_features(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                      deterministic=True, dtype=jnp.float32):
+                      deterministic=True, dtype=jnp.float32,
+                      use_pallas_embed=False):
     """Hidden states before the output head (for the fused-CE kernel)."""
     b, l = seq.shape
-    x = (p["tok_emb"][seq] + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
+    x = (take_rows(p["tok_emb"], seq, use_pallas_embed)
+         + p["pos_emb"][jnp.arange(l)][None]).astype(dtype)
     mem = txf_cond_memory(p, z, dtype)
     mask = causal_mask(l)
     rngs = (list(jax.random.split(rng, len(p["txf"]))) if rng is not None
@@ -338,9 +348,11 @@ def txf_cond_features(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
 
 
 def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
-                   deterministic=True, dtype=jnp.float32, vocab_out=None):
+                   deterministic=True, dtype=jnp.float32, vocab_out=None,
+                   use_pallas_embed=False):
     x = txf_cond_features(p, z, seq, n_heads, dropout_rate=dropout_rate,
-                          rng=rng, deterministic=deterministic, dtype=dtype)
+                          rng=rng, deterministic=deterministic, dtype=dtype,
+                          use_pallas_embed=use_pallas_embed)
     logits = linear(p["out"], x)
     if vocab_out is not None and logits.shape[-1] != vocab_out:
         logits = logits[..., :vocab_out]

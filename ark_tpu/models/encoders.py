@@ -17,13 +17,15 @@ import jax.numpy as jnp
 
 from ark_tpu.models.initializers import embedding_init, linear_init
 from ark_tpu.models.layers import encoder_layer, encoder_layer_init, linear
+from ark_tpu.ops.embed import take_triples
 
 
-def _embed_triples(p, triples, dtype):
-    h = p["e_emb"][triples[:, :, 0]]
-    r = p["r_emb"][triples[:, :, 1]]
-    t = p["e_emb"][triples[:, :, 2]]
-    return jnp.concatenate([h, r, t], axis=-1).astype(dtype)
+def _embed_triples(p, triples, dtype, use_pallas_embed=False):
+    """(h|r|t) embed+concat — the BASELINE.json embedding-gather kernel
+    target; ``use_pallas_embed`` routes it through the fused Pallas
+    row-DMA kernel (ops/pallas/embed_gather.py), bit-identical."""
+    return take_triples(p["e_emb"], p["r_emb"], triples,
+                        use_pallas=use_pallas_embed, dtype=dtype)
 
 
 def _masked_mean(x, triples, pad_rid):
@@ -60,8 +62,9 @@ def mlp_encoder_init(key, n_entities, n_relations, d_model, d_latent,
     }
 
 
-def mlp_encoder_apply(p, triples, rng, pad_rid=None, dtype=jnp.float32):
-    x = _embed_triples(p, triples, dtype)
+def mlp_encoder_apply(p, triples, rng, pad_rid=None, dtype=jnp.float32,
+                      use_pallas_embed=False):
+    x = _embed_triples(p, triples, dtype, use_pallas_embed)
     if pad_rid is not None:
         mask = (triples[:, :, 1] != pad_rid).astype(x.dtype)
         x = x * mask[:, :, None]
@@ -93,8 +96,9 @@ def txf_encoder_init(key, n_entities, n_relations, d_model, d_latent,
 
 
 def txf_encoder_apply(p, triples, rng, n_heads, pad_rid=None,
-                      dropout_rate=0.1, deterministic=True, dtype=jnp.float32):
-    x = _embed_triples(p, triples, dtype)
+                      dropout_rate=0.1, deterministic=True, dtype=jnp.float32,
+                      use_pallas_embed=False):
+    x = _embed_triples(p, triples, dtype, use_pallas_embed)
     key_padding_mask = None
     if pad_rid is not None:
         key_padding_mask = triples[:, :, 1] == pad_rid  # True = masked
