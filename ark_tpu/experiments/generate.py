@@ -141,9 +141,10 @@ def main(argv=None):
                    help="also split the embedding/logit head 2-way over a "
                         "'model' mesh axis (big-vocab serving layout)")
     p.add_argument("--sample-strategy", default="auto",
-                   choices=["auto", "gumbel", "cdf"],
-                   help="fused-kernel candidate draw (cdf compiles ~45x "
-                        "faster at ~0.84x throughput; docs/BENCH_NOTES.md)")
+                   choices=["auto", "gumbel", "expmin", "cdf"],
+                   help="fused-kernel candidate draw (expmin = same draw, "
+                        "cheaper noise arithmetic; cdf compiles ~45x faster "
+                        "at ~0.84x throughput; docs/BENCH_NOTES.md)")
     p.add_argument("--format", choices=["tsv", "jsonl", "pretty"],
                    default="pretty")
     p.add_argument("--output", default=None, help="file (default: stdout)")

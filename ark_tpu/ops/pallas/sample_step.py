@@ -140,7 +140,7 @@ def _flash_lse_final(m_scr, l_scr):
 def _pass_a_kernel(seed_ref, ofs_ref, y_ref, w_ref, b_ref,
                    lse_ref, idx_ref, clog_ref, bg_ref,
                    m_scr, l_scr, bg_scr, bi_scr, bl_scr,
-                   *, v_true, k_cands, inv_temp):
+                   *, v_true, k_cands, inv_temp, noise="log"):
     """``ofs_ref`` (SMEM): this call's GLOBAL column offset (0 full-vocab;
     axis_index('model') * V_shard when vocab-sharded). Candidate ids are
     GLOBAL, the per-block Gumbel seed folds the GLOBAL block index — so a
@@ -148,6 +148,29 @@ def _pass_a_kernel(seed_ref, ofs_ref, y_ref, w_ref, b_ref,
     unsharded call and the cross-shard pmax merge reproduces the unsharded
     winner exactly. ``bg_ref`` additionally returns the best Gumbel score
     per candidate (the cross-shard merge key; unsharded callers ignore it).
+
+    ``noise`` selects the within-block winner arithmetic (both consume the
+    SAME per-block uniform field and are the SAME draw algebraically):
+
+      "log"  (strategy "gumbel"): per-element Gumbel scores
+        g = logits - log(-log u), block winner by max — 2 transcendental
+        [n, vb] fields per candidate.
+      "race" (strategy "expmin"): the exponential-race identity
+        argmax_v (l_v + G_v) == argmin_v e_v * exp(bm - l_v) with
+        e = -log u and bm the block max (exp(bm - l) is per-element but
+        SHARED across the K candidates), then ONE [n, 1] log converts the
+        block winner back to its exact Gumbel score
+        bm - log(min_s) == l_w + G_w for the cross-block/cross-shard
+        max-merge. Per candidate this is 1 log field instead of 2
+        (plus the one shared exp field) — the round-2 trace put pass A's
+        noise at 65% of sampling device time, so halving its
+        transcendental work is the targeted win (docs/BENCH_NOTES.md).
+        Same distribution EXACTLY (same uniforms, same argmax in real
+        arithmetic); tokens may differ from "gumbel" only at float
+        near-ties. Cols >= 88 nats below the block max round to
+        probability 0 under "race" (exp underflow) — unreachable under
+        "log" too (a float32 uniform cannot produce a Gumbel gap that
+        large), so the truncation is shared.
     """
     j = pl.program_id(0)
     nv = pl.num_programs(0)
@@ -167,16 +190,31 @@ def _pass_a_kernel(seed_ref, ofs_ref, y_ref, w_ref, b_ref,
 
     # K independent Gumbel-argmax candidates
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1)
+    if noise == "race":
+        bm_blk = jnp.max(logits, axis=1, keepdims=True)
+        # masked cols: logits = NEG -> exp(bm + 1e30) = +inf -> s = +inf,
+        # never the min. Fully-masked blocks: bm = NEG absorbs the [n, 1]
+        # -log(min_s) term below, so their score stays exactly NEG and
+        # never beats a live block (the same absorption that guards the
+        # "log" path).
+        ipm = jnp.exp(bm_blk - logits)        # 1/softmax-rel, shared over k
     for k in range(k_cands):
         # at most 2 seed scalars are supported; fold (GLOBAL block,
         # candidate) into the second
         pltpu.prng_seed(seed_ref[0], (j + ofs // vb) * k_cands + k)
         u = _uniform_from_bits(
             pltpu.bitcast(pltpu.prng_random_bits((n, vb)), jnp.uint32))
-        g = logits + (-jnp.log(-jnp.log(u)))
-        bm = jnp.max(g, axis=1, keepdims=True)
-        is_max = g == bm
-        idx_blk = jnp.min(jnp.where(is_max, cols, vb), axis=1, keepdims=True)
+        if noise == "race":
+            s = (-jnp.log(u)) * ipm           # e_v / p_rel_v
+            sm = jnp.min(s, axis=1, keepdims=True)
+            is_best = s == sm
+            bm = bm_blk - jnp.log(sm)         # == l_w + G_w ([n, 1] log)
+        else:
+            g = logits + (-jnp.log(-jnp.log(u)))
+            bm = jnp.max(g, axis=1, keepdims=True)
+            is_best = g == bm
+        idx_blk = jnp.min(jnp.where(is_best, cols, vb), axis=1,
+                          keepdims=True)
         logit_at = jnp.sum(jnp.where(cols == idx_blk, logits, 0.0),
                            axis=1, keepdims=True)
         better = bm > bg_scr[:, k:k + 1]
@@ -401,7 +439,7 @@ def _draw_candidates_cdf(y, w, b, lse, targets, *, v_true, k_cands,
 
 
 def _pass_a_call(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock,
-                 col_ofs=0):
+                 col_ofs=0, noise="log"):
     """Pass A: (lse [n,1], candidate ids [n,K] GLOBAL, candidate logits
     [n,K], best Gumbel scores [n,K])."""
     n, d = y.shape
@@ -410,7 +448,7 @@ def _pass_a_call(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock,
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_pass_a_kernel, v_true=v_true, k_cands=k_cands,
-                          inv_temp=inv_temp),
+                          inv_temp=inv_temp, noise=noise),
         grid=(v // vblock,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -442,10 +480,11 @@ def _pass_a_call(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock,
       b.reshape(1, v))
 
 
-def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock):
+def _draw_candidates(y, w, b, seed, *, v_true, k_cands, inv_temp, vblock,
+                     noise="log"):
     lse, idx, clog, _ = _pass_a_call(y, w, b, seed, v_true=v_true,
                                      k_cands=k_cands, inv_temp=inv_temp,
-                                     vblock=vblock)
+                                     vblock=vblock, noise=noise)
     masses = _candidate_masses(y, w, b, lse, clog, v_true=v_true,
                                k_cands=k_cands, inv_temp=inv_temp,
                                vblock=vblock)
@@ -495,12 +534,14 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
 
     ``strategy``: how a candidate-from-softmax is drawn (module docstring):
     "gumbel" = in-kernel Gumbel-argmax fields (2 passes over W, per-element
-    noise); "cdf" = inverse-CDF prefix scan (3 passes over W, K scalar
-    uniforms per row, no per-element noise). Same distribution either way;
-    the nucleus acceptance rule and retry loop are shared."""
-    if strategy not in ("gumbel", "cdf"):
+    noise); "expmin" = the same draw via the exponential-race identity
+    (2 passes, about half the noise transcendentals — _pass_a_kernel
+    docstring); "cdf" = inverse-CDF prefix scan (3 passes over W, K scalar
+    uniforms per row, no per-element noise). Same distribution in all
+    cases; the nucleus acceptance rule and retry loop are shared."""
+    if strategy not in ("gumbel", "expmin", "cdf"):
         raise ValueError(
-            f"strategy must be 'gumbel' or 'cdf', got {strategy!r}")
+            f"strategy must be 'gumbel', 'expmin' or 'cdf', got {strategy!r}")
     n = y.shape[0]
     v_true = v_true or w.shape[0]
     vblock = vblock if vblock else pick_vblock(w.shape[0])
@@ -543,9 +584,10 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
                                        vblock=vblock)
             return idx, masses
     else:
-        draw = functools.partial(_draw_candidates, y, w, b, v_true=v_true,
-                                 k_cands=k_cands, inv_temp=inv_temp,
-                                 vblock=vblock)
+        draw = functools.partial(
+            _draw_candidates, y, w, b, v_true=v_true, k_cands=k_cands,
+            inv_temp=inv_temp, vblock=vblock,
+            noise="race" if strategy == "expmin" else "log")
 
     return _accept_loop(draw, seed, top_p, max_rounds)
 
@@ -624,9 +666,9 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
     fused_top_p_sample; equivalence: tests/test_fused_sample.py (sharded
     greedy degeneracy is bit-exact, sharded cdf is distribution-tested).
     """
-    if strategy not in ("gumbel", "cdf"):
+    if strategy not in ("gumbel", "expmin", "cdf"):
         raise ValueError(
-            f"strategy must be 'gumbel' or 'cdf', got {strategy!r}")
+            f"strategy must be 'gumbel', 'expmin' or 'cdf', got {strategy!r}")
     n = y.shape[0]
     v_shard = w.shape[0]
     vblock = vblock if vblock else pick_vblock(v_shard)
@@ -690,9 +732,14 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
             return idx, merge_masses(lse, clog)
     else:
         def draw(s):
+            # "expmin" shares the merge untouched: its bg output is the
+            # identical Gumbel score (up to rounding), and all element
+            # math is block-local, so the global-block-keyed stitching
+            # property is preserved
             lse_s, idx_s, clog_s, bg_s = _pass_a_call(
                 y, w, b, s, v_true=v_true, k_cands=k_cands,
-                inv_temp=inv_temp, vblock=vblock, col_ofs=ofs)
+                inv_temp=inv_temp, vblock=vblock, col_ofs=ofs,
+                noise="race" if strategy == "expmin" else "log")
             lse = _merge_lse(lse_s, axis_name)
             bg_max = jax.lax.pmax(bg_s, axis_name)
             idx_f = jnp.where(bg_s == bg_max, idx_s, BIG)

@@ -222,12 +222,12 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
         fused = jax.default_backend() not in ("cpu",)
     if fused_strategy == "auto":
         fused_strategy = "gumbel"
-    if fused_strategy not in ("gumbel", "cdf"):
+    if fused_strategy not in ("gumbel", "expmin", "cdf"):
         # fail fast (config files bypass the CLI choices= guard); a bad
         # value must not silently sample gumbel on non-fused runs and die
         # at trace time hours later on fused ones
-        raise ValueError("fused_strategy must be 'auto', 'gumbel' or "
-                         f"'cdf', got {fused_strategy!r}")
+        raise ValueError("fused_strategy must be 'auto', 'gumbel', "
+                         f"'expmin' or 'cdf', got {fused_strategy!r}")
     fused_model_ok = bool(
         fused and sample and top_p and 0.0 < top_p < 1.0 and not top_k
         and model.decode_step_features is not None

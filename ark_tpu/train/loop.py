@@ -141,9 +141,9 @@ class SamplerBank:
         # fail at construction (training startup), not at the first
         # sampling eval epochs later — config files bypass CLI guards
         strat = str(config.get("fused_sample_strategy", "auto"))
-        if strat not in ("auto", "gumbel", "cdf"):
+        if strat not in ("auto", "gumbel", "expmin", "cdf"):
             raise ValueError("fused_sample_strategy must be 'auto', "
-                             f"'gumbel' or 'cdf', got {strat!r}")
+                             f"'gumbel', 'expmin' or 'cdf', got {strat!r}")
         self.chunk = int(config.get("sample_chunk", chunk))
         self.mesh = mesh
         if mesh is not None:

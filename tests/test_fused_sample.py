@@ -37,7 +37,11 @@ def test_supported_predicate():
     assert not supported(512, 512, 58811)     # v not multiple of vblock
 
 
-def test_interpret_degenerates_to_exact_greedy():
+@pytest.mark.parametrize("strategy", ["gumbel", "expmin"])
+def test_interpret_degenerates_to_exact_greedy(strategy):
+    # interpret-mode PRNG bits are all zero -> constant uniforms -> both the
+    # Gumbel ("log") and exponential-race ("race") winner arithmetics
+    # degenerate to exact argmax over the v_true-masked logits
     y, w, bias = _data()
     v_true = 500
     logits = y @ w.T + bias
@@ -45,9 +49,43 @@ def test_interpret_degenerates_to_exact_greedy():
     want = np.asarray(jnp.argmax(logits, axis=-1))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(7), 0.9,
-                                            v_true=v_true, vblock=VB))
+                                            v_true=v_true, vblock=VB,
+                                            strategy=strategy))
     np.testing.assert_array_equal(got, want)
     assert (got < v_true).all()
+
+
+def test_expmin_race_is_the_same_draw_as_gumbel_argmax():
+    """The exponential-race identity behind strategy='expmin'
+    (ops/pallas/sample_step._pass_a_kernel noise='race'): from the SAME
+    uniform field, blockwise argmin of e_v * exp(bm - l_v) merged by the
+    recovered per-block score bm - log(min_s) picks exactly the global
+    Gumbel-argmax winner, and the recovered score equals the winner's
+    l + G. Verified in float64 against the direct Gumbel computation."""
+    rng = np.random.default_rng(0)
+    nblk, vb = 8, 16
+    for _ in range(200):
+        l = (rng.normal(size=(5, nblk * vb)) * 5).astype(np.float64)
+        u = rng.uniform(1e-7, 1 - 1e-7, size=l.shape).astype(np.float64)
+        g = l - np.log(-np.log(u))
+        want = g.argmax(axis=1)
+        want_score = g.max(axis=1)
+
+        best_score = np.full(5, -np.inf)
+        best_idx = np.zeros(5, np.int64)
+        e = -np.log(u)
+        for j in range(nblk):
+            lb = l[:, j * vb:(j + 1) * vb]
+            eb = e[:, j * vb:(j + 1) * vb]
+            bm = lb.max(axis=1, keepdims=True)
+            s = eb * np.exp(bm - lb)
+            k = s.argmin(axis=1)
+            score = bm[:, 0] - np.log(s.min(axis=1))
+            better = score > best_score
+            best_idx = np.where(better, j * vb + k, best_idx)
+            best_score = np.where(better, score, best_score)
+        np.testing.assert_array_equal(best_idx, want)
+        np.testing.assert_allclose(best_score, want_score, rtol=1e-12)
 
 
 def test_temperature_preserves_argmax():
@@ -294,12 +332,15 @@ def test_sampler_fused_forced_tokens_match_xla_path():
     assert live.any()
 
 
-def test_sharded_gumbel_matches_unsharded_greedy():
+@pytest.mark.parametrize("strategy", ["gumbel", "expmin"])
+def test_sharded_gumbel_matches_unsharded_greedy(strategy):
     """fused_top_p_sample_sharded under a 2-way vocab-sharded shard_map ==
     the unsharded argmax (interpret-mode Gumbel degeneracy), exercising the
     global column offsets, the cross-shard pmax/pmin winner merge, the
     flash-LSE merge and the psum'd nucleus masses — with v_true=500 cutting
-    into the SECOND shard's slice (global masking through ofs)."""
+    into the SECOND shard's slice (global masking through ofs). 'expmin'
+    shares the merge (its bg output is the same Gumbel score), so the same
+    test covers its sharded path."""
     from jax.sharding import PartitionSpec as P
     from ark_tpu.parallel import make_mesh
     from ark_tpu.ops.pallas.sample_step import fused_top_p_sample_sharded
@@ -315,7 +356,8 @@ def test_sharded_gumbel_matches_unsharded_greedy():
 
     def local(y, w, b):
         return fused_top_p_sample_sharded(y, w, b, jnp.int32(7), 0.9,
-                                          v_true=v_true, vblock=VB)
+                                          v_true=v_true, vblock=VB,
+                                          strategy=strategy)
 
     f = jax.shard_map(local, mesh=mesh,
                       in_specs=(P(), P("model", None), P("model")),
