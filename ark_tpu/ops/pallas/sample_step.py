@@ -99,11 +99,16 @@ def _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs=0):
     """``ofs``: this call's GLOBAL column offset — 0 for a full-vocab call;
     axis_index('model') * V_shard when the head is vocab-sharded and each
     device streams only its W slice (fused_top_p_sample_sharded). The
-    v_true mask is evaluated in global column coordinates."""
+    v_true mask is evaluated in global column coordinates.
+
+    The matmul input precision follows W's dtype (``fused_sample_dtype``:
+    callers may stream a bf16-cast head — half the HBM bytes per pass —
+    with f32 accumulation; y is cast to match). Bias add, temperature and
+    masking stay f32."""
     n = y_ref.shape[0]
     vb = w_ref.shape[0]
     logits = jax.lax.dot_general(
-        y_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        y_ref[:].astype(w_ref.dtype), w_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     logits = (logits + b_ref[0, :].reshape(1, vb)) * inv_temp
     cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb + ofs
@@ -521,7 +526,7 @@ def _candidate_masses(y, w, b, lse, clog, *, v_true, k_cands, inv_temp,
 
 def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
                        k_cands=4, max_rounds=4, vblock=None,
-                       strategy="gumbel"):
+                       strategy="gumbel", mm_dtype=jnp.float32):
     """One fused sampling step: y [B, D] f32 hidden states, w [V, D]
     embedding-layout head, b [V], seed int32 scalar -> token [B] int32
     drawn from the renormalized top-p nucleus of softmax(logits/T).
@@ -549,7 +554,10 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
         f"no vocab tile divides V={w.shape[0]} (callers gate on supported())"
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)
-    w = w.astype(jnp.float32)
+    # mm_dtype (``fused_sample_dtype``): the head streams in this dtype —
+    # bf16 halves the dominant HBM read of every pass, f32 accumulation
+    # (a perf mode like fused_ce_dtype, not bit-identical to f32)
+    w = w.astype(jnp.dtype(mm_dtype))
     b = b.astype(jnp.float32)
     seed = jnp.asarray(seed).astype(jnp.int32)
 
@@ -561,7 +569,8 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
                                seed + jnp.int32(104729 * (s // ROWCHUNK + 1)),
                                top_p, v_true=v_true, temperature=temperature,
                                k_cands=k_cands, max_rounds=max_rounds,
-                               vblock=vblock, strategy=strategy)
+                               vblock=vblock, strategy=strategy,
+                               mm_dtype=mm_dtype)
             for s in range(0, n, ROWCHUNK)
         ]
         return jnp.concatenate(toks)
@@ -635,7 +644,7 @@ def _merge_lse(lse_local, axis_name):
 def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
                                axis_name="model", temperature=1.0,
                                k_cands=4, max_rounds=4, vblock=None,
-                               strategy="gumbel"):
+                               strategy="gumbel", mm_dtype=jnp.float32):
     """Vocab-sharded fused sampling step — runs INSIDE a shard_map whose
     specs put w/b's vocab dimension on ``axis_name`` (the north-star
     wd-articles serving geometry, parallel/mesh.param_shardings).
@@ -676,7 +685,7 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
         f"no vocab tile divides V_shard={v_shard} (callers gate on supported())"
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)
-    w = w.astype(jnp.float32)
+    w = w.astype(jnp.dtype(mm_dtype))
     b = b.astype(jnp.float32)
     seed = jnp.asarray(seed).astype(jnp.int32)
     ofs = (jax.lax.axis_index(axis_name) * v_shard).astype(jnp.int32)
@@ -688,7 +697,8 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
                 seed + jnp.int32(104729 * (s // ROWCHUNK + 1)),
                 top_p, v_true=v_true, axis_name=axis_name,
                 temperature=temperature, k_cands=k_cands,
-                max_rounds=max_rounds, vblock=vblock, strategy=strategy)
+                max_rounds=max_rounds, vblock=vblock, strategy=strategy,
+                mm_dtype=mm_dtype)
             for s in range(0, n, ROWCHUNK)
         ]
         return jnp.concatenate(toks)

@@ -182,7 +182,8 @@ def _force(logits, pos_idx, forced):
 
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                  top_p=0.0, forced=(), mesh=None, fused="auto",
-                 fused_strategy="auto", shard_vocab=False):
+                 fused_strategy="auto", shard_vocab=False,
+                 fused_mm_dtype=None):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
@@ -202,9 +203,15 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     Forced (position, token) pairs ride the fused path too: the sampled
     token is overridden post-draw, which equals the logits mask exactly.
 
-    ``fused_strategy``: 'auto' | 'gumbel' | 'cdf' — candidate-draw strategy
-    inside the fused kernel (sample_step.py module docstring). 'auto'
-    resolves to the faster measured default.
+    ``fused_strategy``: 'auto' | 'gumbel' | 'expmin' | 'cdf' —
+    candidate-draw strategy inside the fused kernel (sample_step.py module
+    docstring). 'auto' resolves to the faster measured default.
+
+    ``fused_mm_dtype``: matmul input dtype for the fused kernel's head
+    streaming (config key ``fused_sample_dtype``) — 'bfloat16' halves the
+    per-pass HBM read of the ~120 MB head with f32 accumulation; a perf
+    mode like ``fused_ce_dtype``, not bit-identical to the f32 default.
+    The cast happens once outside the token scan.
 
     ``shard_vocab``: the head params are vocab-sharded over the mesh's
     'model' axis (parallel/mesh.param_shardings). The fused kernel then
@@ -222,6 +229,10 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
         fused = jax.default_backend() not in ("cpu",)
     if fused_strategy == "auto":
         fused_strategy = "gumbel"
+    if fused_mm_dtype is not None and jnp.dtype(fused_mm_dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError("fused_mm_dtype must be float32 or bfloat16, got "
+                         f"{fused_mm_dtype!r}")
     if fused_strategy not in ("gumbel", "expmin", "cdf"):
         # fail fast (config files bypass the CLI choices= guard); a bad
         # value must not silently sample gumbel on non-fused runs and die
@@ -254,6 +265,10 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                 supported as fused_supported)
 
             w_head, b_head = model.head(params)
+            mm_dtype = jnp.dtype(fused_mm_dtype or jnp.float32)
+            # cast once, outside the token scan: every pass then streams
+            # the (possibly bf16) head instead of re-converting per step
+            w_head = w_head.astype(mm_dtype)
             nd = 1 if mesh is None else dict(mesh.shape).get("data", 1)
             nm = 1 if mesh is None else dict(mesh.shape).get("model", 1)
             # the sharded kernel's shard_map specs need a 'data' axis (size
@@ -277,7 +292,7 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                 common = dict(top_p=float(top_p), v_true=layout.vocab_size,
                               temperature=(float(temperature)
                                            if temperature else 1.0),
-                              strategy=fused_strategy)
+                              strategy=fused_strategy, mm_dtype=mm_dtype)
                 if vocab_sharded:
                     from jax.sharding import PartitionSpec as P
 

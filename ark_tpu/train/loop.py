@@ -144,6 +144,10 @@ class SamplerBank:
         if strat not in ("auto", "gumbel", "expmin", "cdf"):
             raise ValueError("fused_sample_strategy must be 'auto', "
                              f"'gumbel', 'expmin' or 'cdf', got {strat!r}")
+        sdt = config.get("fused_sample_dtype")
+        if sdt is not None and str(sdt) not in ("float32", "bfloat16"):
+            raise ValueError("fused_sample_dtype must be float32 or "
+                             f"bfloat16, got {sdt!r}")
         self.chunk = int(config.get("sample_chunk", chunk))
         self.mesh = mesh
         if mesh is not None:
@@ -197,6 +201,7 @@ class SamplerBank:
                 top_k=self.config.get("top_k", 0), mesh=self.mesh,
                 fused_strategy=self.config.get("fused_sample_strategy",
                                                "auto"),
+                fused_mm_dtype=self.config.get("fused_sample_dtype"),
                 shard_vocab=self.shard_vocab)
             base, chunk = self._lm_sampler, self.chunk
             seq_len = self.layout.seq_len

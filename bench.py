@@ -193,8 +193,12 @@ def measure_tpu(cfg, bundle, model):
         scfg["sample_dtype"] = sample_dtype
     _sstrat = os.environ.get("ARK_TPU_BENCH_SAMPLE_STRATEGY", "")
     if _sstrat:
-        # fused-kernel candidate strategy: "gumbel" | "cdf" (sample_step.py)
+        # fused-kernel candidate strategy: "gumbel" | "expmin" | "cdf"
         scfg["fused_sample_strategy"] = _sstrat
+    _swd = os.environ.get("ARK_TPU_BENCH_SAMPLE_WDTYPE", "")
+    if _swd:
+        # bf16 head streaming inside the fused sampling kernels
+        scfg["fused_sample_dtype"] = _swd
     # the production sampling path (SamplerBank.sample_sequences): all chunks
     # of the request run on-device in one dispatch (lax.scan over chunks),
     # one host fetch per call — the measured number is device-bound, not

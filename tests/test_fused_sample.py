@@ -55,6 +55,24 @@ def test_interpret_degenerates_to_exact_greedy(strategy):
     assert (got < v_true).all()
 
 
+def test_bf16_head_streaming_degenerates_to_bf16_greedy():
+    """mm_dtype=bfloat16 (config ``fused_sample_dtype``): the kernel's
+    bf16-streamed head matmul with f32 accumulation matches the same
+    computation spelled in XLA — interpret-mode degeneracy picks the
+    argmax of THOSE logits (a perf mode, not bit-identical to f32)."""
+    y, w, bias = _data()
+    v_true = 500
+    logits = jnp.dot(y.astype(jnp.bfloat16), w.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32) + bias
+    logits = jnp.where(jnp.arange(V) < v_true, logits, -1e30)
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(7), 0.9,
+                                            v_true=v_true, vblock=VB,
+                                            mm_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_expmin_race_is_the_same_draw_as_gumbel_argmax():
     """The exponential-race identity behind strategy='expmin'
     (ops/pallas/sample_step._pass_a_kernel noise='race'): from the SAME
