@@ -153,6 +153,10 @@ def measure_tpu(cfg, bundle, model):
 
     layout = bundle.layout
     state = create_train_state(model, jax.random.key(0))
+    # sampling-only A/B runs (queue scripts) skip the train measurement;
+    # the train fields then report 0 and the headline JSON line is only
+    # meaningful for its sample_* fields
+    skip_train = os.environ.get("ARK_TPU_BENCH_SKIP_TRAIN", "0") == "1"
     n = TRAIN_STEPS * BATCH
     triples = jnp.asarray(bundle.train.triples[:n])
     seq = jnp.asarray(bundle.train.seq[:n])
@@ -163,6 +167,12 @@ def measure_tpu(cfg, bundle, model):
         log(f"[bench] fused-CE live-row cap: {cfg['ce_row_cap']} "
             f"of {BATCH * (layout.seq_len - 1)} rows/batch")
     train_epoch, _ = make_epoch_fns(model, layout, cfg)
+
+    if skip_train:
+        log("[bench] ARK_TPU_BENCH_SKIP_TRAIN=1: skipping train measurement")
+        train_gps = train_tflops = train_mfu = 0.0
+        return _measure_sampling(cfg, layout, model, state,
+                                 train_gps, train_tflops, train_mfu)
 
     log("[bench] compiling + warmup train epoch ...")
     t0 = time.time()
@@ -185,6 +195,15 @@ def measure_tpu(cfg, bundle, model):
         f"-> {train_gps:.0f} graphs/s (loss {loss:.3f}) "
         f"| {train_tflops:.1f} TFLOP/s = {train_mfu:.1%} MFU "
         f"(analytic FLOPs, v5e bf16 peak {PEAK_TFLOPS:.0f})")
+
+    return _measure_sampling(cfg, layout, model, state,
+                             train_gps, train_tflops, train_mfu)
+
+
+def _measure_sampling(cfg, layout, model, state, train_gps, train_tflops,
+                      train_mfu):
+    import jax
+    import jax.numpy as jnp
 
     # optional reduced-precision decode path (params stay f32)
     sample_dtype = os.environ.get("ARK_TPU_BENCH_SAMPLE_DTYPE", "")
