@@ -525,7 +525,7 @@ def _candidate_masses(y, w, b, lse, clog, *, v_true, k_cands, inv_temp,
 
 
 def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
-                       k_cands=4, max_rounds=4, vblock=None,
+                       k_cands=4, max_rounds=4, vblock=None, rowchunk=None,
                        strategy="gumbel", mm_dtype=jnp.float32):
     """One fused sampling step: y [B, D] f32 hidden states, w [V, D]
     embedding-layout head, b [V], seed int32 scalar -> token [B] int32
@@ -543,13 +543,22 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     (2 passes, about half the noise transcendentals — _pass_a_kernel
     docstring); "cdf" = inverse-CDF prefix scan (3 passes over W, K scalar
     uniforms per row, no per-element noise). Same distribution in all
-    cases; the nucleus acceptance rule and retry loop are shared."""
+    cases; the nucleus acceptance rule and retry loop are shared.
+
+    ``vblock`` / ``rowchunk`` override the vocab-tile width and the
+    rows-per-kernel chunking (defaults: pick_vblock / ROWCHUNK). The
+    per-block noise seed folds the GLOBAL block index, so a different
+    vblock is a different (equally distributed) RNG stream — a perf knob
+    like ``strategy``, not bit-stable across values. VMEM bounds the
+    product: bigger tiles need smaller row chunks (the hardware A/B in
+    scripts/tpu_queue gates any default change)."""
     if strategy not in ("gumbel", "expmin", "cdf"):
         raise ValueError(
             f"strategy must be 'gumbel', 'expmin' or 'cdf', got {strategy!r}")
     n = y.shape[0]
     v_true = v_true or w.shape[0]
     vblock = vblock if vblock else pick_vblock(w.shape[0])
+    rowchunk = int(rowchunk) if rowchunk else ROWCHUNK
     assert vblock > 0 and w.shape[0] % vblock == 0, \
         f"no vocab tile divides V={w.shape[0]} (callers gate on supported())"
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
@@ -561,17 +570,17 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     b = b.astype(jnp.float32)
     seed = jnp.asarray(seed).astype(jnp.int32)
 
-    if n > ROWCHUNK:
+    if n > rowchunk:
         # row-chunking keeps each kernel's VMEM bounded; each chunk runs its
         # own candidate rounds with a decorrelated seed
         toks = [
-            fused_top_p_sample(y[s:s + ROWCHUNK], w, b,
-                               seed + jnp.int32(104729 * (s // ROWCHUNK + 1)),
+            fused_top_p_sample(y[s:s + rowchunk], w, b,
+                               seed + jnp.int32(104729 * (s // rowchunk + 1)),
                                top_p, v_true=v_true, temperature=temperature,
                                k_cands=k_cands, max_rounds=max_rounds,
-                               vblock=vblock, strategy=strategy,
-                               mm_dtype=mm_dtype)
-            for s in range(0, n, ROWCHUNK)
+                               vblock=vblock, rowchunk=rowchunk,
+                               strategy=strategy, mm_dtype=mm_dtype)
+            for s in range(0, n, rowchunk)
         ]
         return jnp.concatenate(toks)
 
@@ -644,7 +653,8 @@ def _merge_lse(lse_local, axis_name):
 def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
                                axis_name="model", temperature=1.0,
                                k_cands=4, max_rounds=4, vblock=None,
-                               strategy="gumbel", mm_dtype=jnp.float32):
+                               rowchunk=None, strategy="gumbel",
+                               mm_dtype=jnp.float32):
     """Vocab-sharded fused sampling step — runs INSIDE a shard_map whose
     specs put w/b's vocab dimension on ``axis_name`` (the north-star
     wd-articles serving geometry, parallel/mesh.param_shardings).
@@ -681,6 +691,7 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
     n = y.shape[0]
     v_shard = w.shape[0]
     vblock = vblock if vblock else pick_vblock(v_shard)
+    rowchunk = int(rowchunk) if rowchunk else ROWCHUNK
     assert vblock > 0 and v_shard % vblock == 0, \
         f"no vocab tile divides V_shard={v_shard} (callers gate on supported())"
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
@@ -690,16 +701,16 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
     seed = jnp.asarray(seed).astype(jnp.int32)
     ofs = (jax.lax.axis_index(axis_name) * v_shard).astype(jnp.int32)
 
-    if n > ROWCHUNK:
+    if n > rowchunk:
         toks = [
             fused_top_p_sample_sharded(
-                y[s:s + ROWCHUNK], w, b,
-                seed + jnp.int32(104729 * (s // ROWCHUNK + 1)),
+                y[s:s + rowchunk], w, b,
+                seed + jnp.int32(104729 * (s // rowchunk + 1)),
                 top_p, v_true=v_true, axis_name=axis_name,
                 temperature=temperature, k_cands=k_cands,
-                max_rounds=max_rounds, vblock=vblock, strategy=strategy,
-                mm_dtype=mm_dtype)
-            for s in range(0, n, ROWCHUNK)
+                max_rounds=max_rounds, vblock=vblock, rowchunk=rowchunk,
+                strategy=strategy, mm_dtype=mm_dtype)
+            for s in range(0, n, rowchunk)
         ]
         return jnp.concatenate(toks)
 

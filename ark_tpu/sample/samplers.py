@@ -183,7 +183,8 @@ def _force(logits, pos_idx, forced):
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                  top_p=0.0, forced=(), mesh=None, fused="auto",
                  fused_strategy="auto", shard_vocab=False,
-                 fused_mm_dtype=None):
+                 fused_mm_dtype=None, fused_vblock=None,
+                 fused_rowchunk=None):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
@@ -213,6 +214,16 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     mode like ``fused_ce_dtype``, not bit-identical to the f32 default.
     The cast happens once outside the token scan.
 
+    ``fused_vblock`` / ``fused_rowchunk``: override the fused kernel's
+    vocab-tile width / rows-per-kernel chunking (config keys
+    ``fused_sample_vblock`` / ``fused_sample_rowchunk``; defaults
+    sample_step.pick_vblock / ROWCHUNK). Bigger vocab tiles amortize the
+    per-block pipeline overhead that dominates sampling, but VMEM bounds
+    vblock x rowchunk — e.g. a 2048 tile needs <= 256 rows. A non-default
+    vblock re-keys the per-block noise stream (same distribution,
+    different tokens — like ``fused_strategy``); perf knobs, hardware-A/B
+    gated like the rest of this family.
+
     ``shard_vocab``: the head params are vocab-sharded over the mesh's
     'model' axis (parallel/mesh.param_shardings). The fused kernel then
     runs per (data, vocab) shard — each device streams only its V/n_model
@@ -220,6 +231,16 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     (ops/pallas/sample_step.fused_top_p_sample_sharded) — instead of
     all-gathering the ~120 MB wd-articles head every token step.
     """
+    if fused_vblock is not None and (int(fused_vblock) <= 0
+                                     or int(fused_vblock) % 128):
+        # lane-width multiple; divisibility into the (per-shard) padded
+        # vocab is checked by supported() below with graceful XLA fallback
+        raise ValueError(f"fused_vblock must be a positive multiple of 128, "
+                         f"got {fused_vblock!r}")
+    if fused_rowchunk is not None and (int(fused_rowchunk) <= 0
+                                       or int(fused_rowchunk) % 8):
+        raise ValueError(f"fused_rowchunk must be a positive multiple of 8, "
+                         f"got {fused_rowchunk!r}")
     st = layout.special_tokens
     bos, eos = st["BOS"], st["EOS"]
     L = layout.seq_len
@@ -281,10 +302,21 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                 use_fused = (batch % nd == 0 and w_head.shape[0] % nm == 0
                              and fused_supported(batch // nd,
                                                  w_head.shape[1],
-                                                 w_head.shape[0] // nm))
+                                                 w_head.shape[0] // nm,
+                                                 vblock=fused_vblock))
             else:
                 use_fused = (batch % nd == 0 and fused_supported(
-                    batch // nd, w_head.shape[1], w_head.shape[0]))
+                    batch // nd, w_head.shape[1], w_head.shape[0],
+                    vblock=fused_vblock))
+            if fused_vblock and not use_fused:
+                # an explicit tile request that silently measured the XLA
+                # fallback would invalidate a hardware A/B — warn at trace
+                import warnings
+                warnings.warn(
+                    f"fused_sample_vblock={fused_vblock} does not divide the "
+                    f"(per-shard) padded vocab "
+                    f"{w_head.shape[0] // (nm if vocab_sharded else 1)}; "
+                    "falling back to the XLA sampling path")
 
             def fused_draw(y, k):
                 seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max,
@@ -292,7 +324,11 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                 common = dict(top_p=float(top_p), v_true=layout.vocab_size,
                               temperature=(float(temperature)
                                            if temperature else 1.0),
-                              strategy=fused_strategy, mm_dtype=mm_dtype)
+                              strategy=fused_strategy, mm_dtype=mm_dtype,
+                              vblock=(int(fused_vblock)
+                                      if fused_vblock else None),
+                              rowchunk=(int(fused_rowchunk)
+                                        if fused_rowchunk else None))
                 if vocab_sharded:
                     from jax.sharding import PartitionSpec as P
 

@@ -148,6 +148,12 @@ class SamplerBank:
         if sdt is not None and str(sdt) not in ("float32", "bfloat16"):
             raise ValueError("fused_sample_dtype must be float32 or "
                              f"bfloat16, got {sdt!r}")
+        for key, mult in (("fused_sample_vblock", 128),
+                          ("fused_sample_rowchunk", 8)):
+            val = config.get(key)
+            if val is not None and (int(val) <= 0 or int(val) % mult):
+                raise ValueError(f"{key} must be a positive multiple of "
+                                 f"{mult}, got {val!r}")
         self.chunk = int(config.get("sample_chunk", chunk))
         self.mesh = mesh
         if mesh is not None:
@@ -202,6 +208,8 @@ class SamplerBank:
                 fused_strategy=self.config.get("fused_sample_strategy",
                                                "auto"),
                 fused_mm_dtype=self.config.get("fused_sample_dtype"),
+                fused_vblock=self.config.get("fused_sample_vblock"),
+                fused_rowchunk=self.config.get("fused_sample_rowchunk"),
                 shard_vocab=self.shard_vocab)
             base, chunk = self._lm_sampler, self.chunk
             seq_len = self.layout.seq_len

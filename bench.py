@@ -218,6 +218,14 @@ def _measure_sampling(cfg, layout, model, state, train_gps, train_tflops,
     if _swd:
         # bf16 head streaming inside the fused sampling kernels
         scfg["fused_sample_dtype"] = _swd
+    _svb = os.environ.get("ARK_TPU_BENCH_SAMPLE_VBLOCK", "")
+    if _svb:
+        # fused-kernel vocab tile width (bigger tiles amortize per-block
+        # overhead; VMEM bounds vblock x rowchunk)
+        scfg["fused_sample_vblock"] = int(_svb)
+    _src = os.environ.get("ARK_TPU_BENCH_SAMPLE_ROWCHUNK", "")
+    if _src:
+        scfg["fused_sample_rowchunk"] = int(_src)
     # the production sampling path (SamplerBank.sample_sequences): all chunks
     # of the request run on-device in one dispatch (lax.scan over chunks),
     # one host fetch per call — the measured number is device-bound, not

@@ -271,6 +271,48 @@ def test_cdf_tokens_in_nucleus_and_distribution():
     assert tv < 0.12, tv
 
 
+def test_vblock_rowchunk_override_kwargs():
+    """The tile-override knobs (``vblock``/``rowchunk`` kwargs; config
+    ``fused_sample_vblock``/``fused_sample_rowchunk``): a non-default tile
+    geometry runs the same streamed-logits math — interpret-mode greedy
+    degeneracy is tile-invariant — and the rowchunk kwarg drives the
+    recursion without the module constant."""
+    y, w, bias = _data(2, b=48)
+    logits = y @ w.T + bias
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(5), 0.9,
+                                            vblock=256, rowchunk=16))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cdf_vblock_override_stays_in_nucleus():
+    # cdf draws real (host) uniforms, so a tile override exercises the
+    # REAL stitched prefix scan at the new width on CPU
+    y, w, bias = _data(3, b=32)
+    v_true = 500
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(11), 0.9,
+                                            v_true=v_true, vblock=256,
+                                            rowchunk=8, strategy="cdf"))
+    assert got.shape == (32,)
+    assert (got >= 0).all() and (got < v_true).all()
+
+
+def test_tile_override_validation():
+    from ark_tpu.sample import make_sampler
+    from ark_tpu.train.loop import SamplerBank
+
+    with pytest.raises(ValueError, match="fused_vblock"):
+        make_sampler(None, None, fused_vblock=100)
+    with pytest.raises(ValueError, match="fused_rowchunk"):
+        make_sampler(None, None, fused_rowchunk=12)
+    with pytest.raises(ValueError, match="fused_sample_vblock"):
+        SamplerBank(None, None, {"fused_sample_vblock": 100})
+    with pytest.raises(ValueError, match="fused_sample_rowchunk"):
+        SamplerBank(None, None, {"fused_sample_rowchunk": -8})
+
+
 def test_cdf_vocab_masking_and_row_chunking():
     import ark_tpu.ops.pallas.sample_step as ss
 
