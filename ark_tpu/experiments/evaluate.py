@@ -28,6 +28,24 @@ from ark_tpu.eval import posterior_bits
 from ark_tpu.utils.checkpoint import load_checkpoint, to_device_tree
 
 
+def eval_row_cap(config, layout, seq, w, device_mesh):
+    """Per-shard live-row bound for the fused-CE eval path, computed for
+    THIS process's mesh and THIS split. A checkpoint's stored
+    ``ce_row_cap_eval`` is a per-shard bound from the TRAINING shard
+    count — reused on fewer devices it under-caps and the fused kernel's
+    violation guard would poison the eval loss to +inf, so the stored
+    value is always ignored here (the trainer computes caps at every
+    vocab size, train/loop.py, and so does this)."""
+    import numpy as np
+
+    from ark_tpu.ops.losses import compute_ce_row_cap
+    n_shards = (1 if device_mesh is None
+                else dict(device_mesh.shape).get("data", 1))
+    return compute_ce_row_cap(
+        np.asarray(seq), layout.special_tokens["PAD"],
+        config["batch_size"], row_weights=np.asarray(w), n_shards=n_shards)
+
+
 def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
                         num_samples: int | None = None, seed: int = 0,
                         mesh: str = "auto") -> dict:
@@ -67,20 +85,8 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
         from ark_tpu.parallel import replicate
 
         triples, seq, w = replicate((triples, seq, w), device_mesh)
-    if "ce_row_cap_eval" not in config and layout.vocab_size >= 8192:
-        # live-row bound for the fused-CE eval path (same skipping the
-        # trainer ships; checkpoints from older runs lack the key)
-        import numpy as np
-
-        from ark_tpu.ops.losses import compute_ce_row_cap
-        # the fused kernel consumes row_cap as a PER-SHARD bound under a
-        # mesh (same n_shards convention as the trainer, train/loop.py)
-        n_shards = (1 if device_mesh is None
-                    else dict(device_mesh.shape).get("data", 1))
-        config["ce_row_cap_eval"] = compute_ce_row_cap(
-            np.asarray(seq), layout.special_tokens["PAD"],
-            config["batch_size"], row_weights=np.asarray(w),
-            n_shards=n_shards)
+    config["ce_row_cap_eval"] = eval_row_cap(config, layout, seq, w,
+                                             device_mesh)
     _, eval_epoch = make_epoch_fns(model, layout, config, mesh=device_mesh)
     m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
 

@@ -59,6 +59,10 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
 
     device_mesh = None
     n_dev = jax.device_count()
+    if mesh == "off" or n_dev <= 1:
+        # single-device serving must drop --shard-vocab too (SamplerBank
+        # fails fast on shard_vocab without a mesh)
+        shard_vocab = False
     if mesh != "off" and n_dev > 1:
         from ark_tpu.parallel import make_mesh, param_shardings
 

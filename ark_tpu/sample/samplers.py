@@ -310,12 +310,27 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                     vblock=fused_vblock))
             if fused_vblock and not use_fused:
                 # an explicit tile request that silently measured the XLA
-                # fallback would invalidate a hardware A/B — warn at trace
+                # fallback would invalidate a hardware A/B — warn at trace,
+                # naming the predicate that actually failed
                 import warnings
+                v_shard = w_head.shape[0] // (nm if vocab_sharded else 1)
+                why = []
+                if batch % nd:
+                    why.append(f"batch {batch} % data-axis {nd} != 0")
+                if (batch // max(nd, 1)) % 8:
+                    why.append(f"per-shard rows {batch // max(nd, 1)} % 8 != 0")
+                if w_head.shape[1] % 128:
+                    why.append(f"d_model {w_head.shape[1]} % 128 != 0")
+                if vocab_sharded and w_head.shape[0] % nm:
+                    why.append(f"padded vocab {w_head.shape[0]} % model-axis "
+                               f"{nm} != 0")
+                if v_shard % int(fused_vblock):
+                    why.append(f"vblock {fused_vblock} does not divide the "
+                               f"(per-shard) padded vocab {v_shard}")
                 warnings.warn(
-                    f"fused_sample_vblock={fused_vblock} does not divide the "
-                    f"(per-shard) padded vocab "
-                    f"{w_head.shape[0] // (nm if vocab_sharded else 1)}; "
+                    "fused sampling disengaged despite explicit "
+                    f"fused_sample_vblock={fused_vblock} "
+                    f"({'; '.join(why) or 'unsupported shape'}); "
                     "falling back to the XLA sampling path")
 
             def fused_draw(y, k):

@@ -363,6 +363,10 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             print(f"Device mesh: {axes} over {n_dev} devices"
                   + (" (vocab-sharded embedding/head)" if shard_vocab else ""))
         else:
+            # the single-device fallback must drop shard_vocab too, or
+            # SamplerBank's fail-fast check (mesh=None + shard_vocab) turns
+            # the promised fallback into a startup crash
+            shard_vocab = False
             warnings.warn(
                 f"batch_size {config['batch_size']} not divisible by the "
                 f"'data' mesh axis {axes.get('data')}; training single-device",

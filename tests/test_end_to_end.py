@@ -239,3 +239,19 @@ def test_train_cli_vocab_sharded_mesh(small_datasets, tmp_path):
     run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
     assert os.path.exists(
         os.path.join(run_dir, "syn-paths_ARK_best_model.pt"))
+
+
+def test_train_cli_mesh_fallback_drops_shard_vocab(small_datasets, tmp_path):
+    """batch_size not divisible by the 'data' axis -> the promised
+    single-device fallback must also drop shard_vocab, or SamplerBank's
+    fail-fast (mesh=None + shard_vocab) turns the fallback into a startup
+    crash (round-4 review finding)."""
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=1, batch_size=30,
+                            mesh_axes={"data": 4, "model": 2},
+                            shard_vocab=True)
+    ckpt_dir = str(tmp_path / "ckpts")
+    with pytest.warns(UserWarning, match="training single-device"):
+        final = main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    assert "final_test/loss" in final

@@ -124,6 +124,28 @@ def test_evaluate_cli(wd_movies_sail_ckpt, capsys):
     assert _json.loads(printed)["checkpoint"] == ckpt
 
 
+def test_eval_row_cap_ignores_inherited_value():
+    """The fused-CE row cap is PER-SHARD: a checkpoint's stored
+    ce_row_cap_eval (from the training shard count) must be recomputed for
+    the evaluating process's mesh, never reused (round-4 review finding —
+    a 2-shard cap evaluated single-device trips the kernel's inf-guard)."""
+    from ark_tpu.experiments.evaluate import eval_row_cap
+    from ark_tpu.ops.losses import compute_ce_row_cap
+
+    class _Layout:
+        special_tokens = {"PAD": 0}
+        vocab_size = 59392
+
+    seq = np.array([[1, 2, 0, 0], [1, 2, 3, 0],
+                    [1, 0, 0, 0], [2, 3, 0, 0]] * 4, np.int32)
+    w = np.ones((16,), np.float32)
+    cfg = {"batch_size": 8, "ce_row_cap_eval": 1}  # poisoned inherited cap
+    got = eval_row_cap(cfg, _Layout, seq, w, None)
+    want = compute_ce_row_cap(seq, 0, 8, row_weights=w, n_shards=1)
+    assert got == want
+    assert got != 1
+
+
 def test_inspect_checkpoint_cli(wd_movies_sail_ckpt, capsys):
     from ark_tpu.utils.inspect_checkpoint import main
 
@@ -186,3 +208,9 @@ def test_generate_cli_sharded_serving(wd_movies_sail_ckpt):
     graphs_off = generate_graphs(str(ckpt), num_samples=4, batch=4, seed=3,
                                  mesh="off")
     assert len(graphs_off) == 4
+    # --shard-vocab without a mesh (mesh=off, or one attached device) must
+    # degrade to single-device serving, not crash on SamplerBank's
+    # fail-fast check (round-4 review finding)
+    graphs_sv = generate_graphs(str(ckpt), num_samples=4, batch=4, seed=3,
+                                mesh="off", shard_vocab=True)
+    assert len(graphs_sv) == 4
