@@ -184,7 +184,7 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                  top_p=0.0, forced=(), mesh=None, fused="auto",
                  fused_strategy="auto", shard_vocab=False,
                  fused_mm_dtype=None, fused_vblock=None,
-                 fused_rowchunk=None):
+                 fused_rowchunk=None, fused_k_cands=None):
     """Builds a jitted sampler.
 
     lm models:  sampler(params, rng, batch_size) -> seq [B, seq_len] int32
@@ -224,6 +224,15 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     different tokens — like ``fused_strategy``); perf knobs, hardware-A/B
     gated like the rest of this family.
 
+    ``fused_k_cands``: candidates drawn per acceptance round (config key
+    ``fused_sample_kcands``; default 4). Fewer candidates cut pass A's
+    per-element noise work but raise the per-round retry probability
+    (1-top_p)^k — the round-2 tile table showed k=3 slightly ahead and
+    k=2 behind at vblock 512; the optimum shifts with tile geometry. The
+    residual keep-last-candidate bias budget is (1-top_p)^(k*max_rounds),
+    so k >= 2 keeps it <= ~1e-8 at the 0.9 default; same distribution
+    otherwise, different RNG stream than k=4.
+
     ``shard_vocab``: the head params are vocab-sharded over the mesh's
     'model' axis (parallel/mesh.param_shardings). The fused kernel then
     runs per (data, vocab) shard — each device streams only its V/n_model
@@ -241,6 +250,11 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                                        or int(fused_rowchunk) % 8):
         raise ValueError(f"fused_rowchunk must be a positive multiple of 8, "
                          f"got {fused_rowchunk!r}")
+    if fused_k_cands is not None and not 2 <= int(fused_k_cands) <= 8:
+        # k=1 would push the keep-last residual bias to (1-top_p)^max_rounds
+        # (~1e-4 at the 0.9 default) — outside the shared bias budget
+        raise ValueError(f"fused_k_cands must be in [2, 8], "
+                         f"got {fused_k_cands!r}")
     st = layout.special_tokens
     bos, eos = st["BOS"], st["EOS"]
     L = layout.seq_len
@@ -343,7 +357,9 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                               vblock=(int(fused_vblock)
                                       if fused_vblock else None),
                               rowchunk=(int(fused_rowchunk)
-                                        if fused_rowchunk else None))
+                                        if fused_rowchunk else None),
+                              k_cands=(int(fused_k_cands)
+                                       if fused_k_cands else 4))
                 if vocab_sharded:
                     from jax.sharding import PartitionSpec as P
 

@@ -154,6 +154,10 @@ class SamplerBank:
             if val is not None and (int(val) <= 0 or int(val) % mult):
                 raise ValueError(f"{key} must be a positive multiple of "
                                  f"{mult}, got {val!r}")
+        kc = config.get("fused_sample_kcands")
+        if kc is not None and not 2 <= int(kc) <= 8:
+            raise ValueError("fused_sample_kcands must be in [2, 8], "
+                             f"got {kc!r}")
         self.chunk = int(config.get("sample_chunk", chunk))
         self.mesh = mesh
         if mesh is not None:
@@ -210,6 +214,7 @@ class SamplerBank:
                 fused_mm_dtype=self.config.get("fused_sample_dtype"),
                 fused_vblock=self.config.get("fused_sample_vblock"),
                 fused_rowchunk=self.config.get("fused_sample_rowchunk"),
+                fused_k_cands=self.config.get("fused_sample_kcands"),
                 shard_vocab=self.shard_vocab)
             base, chunk = self._lm_sampler, self.chunk
             seq_len = self.layout.seq_len

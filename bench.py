@@ -226,6 +226,11 @@ def _measure_sampling(cfg, layout, model, state, train_gps, train_tflops,
     _src = os.environ.get("ARK_TPU_BENCH_SAMPLE_ROWCHUNK", "")
     if _src:
         scfg["fused_sample_rowchunk"] = int(_src)
+    _skc = os.environ.get("ARK_TPU_BENCH_SAMPLE_KCANDS", "")
+    if _skc:
+        # candidates per acceptance round (fewer = less pass-A noise work,
+        # higher retry probability)
+        scfg["fused_sample_kcands"] = int(_skc)
     # the production sampling path (SamplerBank.sample_sequences): all chunks
     # of the request run on-device in one dispatch (lax.scan over chunks),
     # one host fetch per call — the measured number is device-bound, not

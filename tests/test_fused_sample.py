@@ -299,6 +299,23 @@ def test_cdf_vblock_override_stays_in_nucleus():
     assert (got >= 0).all() and (got < v_true).all()
 
 
+def test_k_cands_override_greedy_and_nucleus():
+    # interpret-mode zero noise: candidate 0 is argmax for ANY k, so the
+    # k_cands knob must not perturb the degenerate greedy result; the cdf
+    # strategy (real host uniforms) must stay in-vocab at k=2
+    y, w, bias = _data(4, b=16)
+    logits = y @ w.T + bias
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(5), 0.9,
+                                            k_cands=2))
+        got_cdf = np.asarray(fused_top_p_sample(y, w, bias, jnp.int32(5),
+                                                0.9, v_true=500, k_cands=2,
+                                                strategy="cdf"))
+    np.testing.assert_array_equal(got, want)
+    assert (got_cdf >= 0).all() and (got_cdf < 500).all()
+
+
 def test_tile_override_validation():
     from ark_tpu.sample import make_sampler
     from ark_tpu.train.loop import SamplerBank
@@ -307,10 +324,14 @@ def test_tile_override_validation():
         make_sampler(None, None, fused_vblock=100)
     with pytest.raises(ValueError, match="fused_rowchunk"):
         make_sampler(None, None, fused_rowchunk=12)
+    with pytest.raises(ValueError, match="fused_k_cands"):
+        make_sampler(None, None, fused_k_cands=1)
     with pytest.raises(ValueError, match="fused_sample_vblock"):
         SamplerBank(None, None, {"fused_sample_vblock": 100})
     with pytest.raises(ValueError, match="fused_sample_rowchunk"):
         SamplerBank(None, None, {"fused_sample_rowchunk": -8})
+    with pytest.raises(ValueError, match="fused_sample_kcands"):
+        SamplerBank(None, None, {"fused_sample_kcands": 9})
 
 
 def test_cdf_vocab_masking_and_row_chunking():
