@@ -49,6 +49,26 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def probe_backend(timeout_s=180):
+    """Fail fast when the TPU tunnel is unreachable. jax.devices() on the
+    axon platform retries PJRT init in a sleep loop FOREVER when the
+    tunnel is down (observed >12 h in round 4) — a bench invocation must
+    not hang the driver's round-end pipeline. The probe runs in a
+    subprocess (the parent must not poison its own jax state on timeout)
+    and succeeds when the child's default backend answers — i.e. exactly
+    the backend the bench itself would use (this environment's
+    sitecustomize pins the child to the axon platform regardless of env
+    vars, so the probe genuinely exercises the tunnel)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _vocab_padded(cfg, layout):
     mult = int(cfg.get("vocab_pad_multiple", 1))
     return -(-layout.vocab_size // mult) * mult
@@ -384,6 +404,16 @@ def measure_torch_baseline(cfg, bundle):
 
 
 def main():
+    if not probe_backend():
+        # one parseable line either way (the driver records stdout)
+        print(json.dumps({
+            "metric": "wd_articles_train_graphs_per_sec_chip", "value": 0,
+            "unit": "graphs/sec/chip", "vs_baseline": 0,
+            "error": "jax backend unreachable (TPU tunnel down; "
+                     "jax.devices() did not answer within the probe "
+                     "timeout) — no measurement taken",
+        }), flush=True)
+        return 1
     cfg, bundle, model = build_setup()
     baseline = measure_torch_baseline(cfg, bundle)
     train_gps, sample_gps, sample_req_gps, perf = measure_tpu(cfg, bundle,
@@ -415,4 +445,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
