@@ -116,9 +116,9 @@ def fused_adam_apply_xla(params, grads, opt_state, lr, *, b1=0.9, b2=0.999,
     """One multi-output tree_map per leaf: the same single-pass formula,
     lowered by XLA (multi-output loop fusion) instead of Pallas. No custom
     call, so GSPMD sharding and XLA scheduling work unchanged."""
-    from optax._src import numerics
+    import optax
 
-    count_inc = numerics.safe_increment(opt_state.count)
+    count_inc = optax.safe_increment(opt_state.count)
     bc1 = (1 - b1**count_inc).astype(jnp.float32)
     bc2 = (1 - b2**count_inc).astype(jnp.float32)
     neg_lr = (-lr).astype(jnp.float32) if hasattr(lr, "astype") \
@@ -146,9 +146,9 @@ def fused_adam_apply(params, grads, opt_state, lr, *, b1=0.9, b2=0.999,
     and resume are unchanged. ``lr`` may be a runtime scalar (the cosine
     schedule recompiles nothing). ``interpret`` runs the kernel in Pallas
     interpret mode (CPU equivalence tests)."""
-    from optax._src import numerics
+    import optax
 
-    count_inc = numerics.safe_increment(opt_state.count)
+    count_inc = optax.safe_increment(opt_state.count)
     # optax tree_bias_correction: 1 - decay**count, then .astype(t.dtype)
     bc1 = (1 - b1**count_inc).astype(jnp.float32)
     bc2 = (1 - b2**count_inc).astype(jnp.float32)

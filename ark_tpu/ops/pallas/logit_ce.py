@@ -30,6 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ark_tpu.ops.pallas.flash_lse import (
+    NEG,
+    flash_lse_final,
+    flash_lse_init,
+    flash_lse_update,
+)
+
 VBLOCK = 512  # vocabulary tile (lane-aligned)
 
 
@@ -82,8 +89,7 @@ def _fwd_kernel(ofs_ref, x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
 
     @pl.when(j == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, -1e30)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        flash_lse_init(m_scr, l_scr)
         t_scr[:] = jnp.zeros_like(t_scr)
 
     logits = jax.lax.dot_general(
@@ -92,7 +98,7 @@ def _fwd_kernel(ofs_ref, x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
         preferred_element_type=jnp.float32)           # [N, VB]
     logits = logits + b_ref[0, :].reshape(1, vb)
     cols_g = jax.lax.broadcasted_iota(jnp.int32, (n, vb), 1) + j * vb + ofs
-    logits = jnp.where(cols_g < v_true, logits, -1e30)  # mask vocab padding
+    logits = jnp.where(cols_g < v_true, logits, NEG)  # mask vocab padding
 
     tgt = tgt_ref[:, 0].reshape(n, 1)
     local = tgt - j * vb - ofs
@@ -100,15 +106,12 @@ def _fwd_kernel(ofs_ref, x_ref, w_ref, b_ref, tgt_ref, nll_ref, lse_ref,
     hit = cols == local
     t_scr[:] += jnp.sum(jnp.where(hit, logits, 0.0), axis=1, keepdims=True)
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-        jnp.exp(logits - m_new), axis=1, keepdims=True)
-    m_scr[:] = m_new
+    # the shared streaming-LSE spec (flash_lse.py) — bitwise the sampler's
+    flash_lse_update(m_scr, l_scr, logits)
 
     @pl.when(j == nv - 1)
     def _():
-        lse = m_scr[:] + jnp.log(l_scr[:])
+        lse = flash_lse_final(m_scr, l_scr)
         lse_ref[:] = lse
         nll_ref[:] = lse - t_scr[:]
 

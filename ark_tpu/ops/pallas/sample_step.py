@@ -71,13 +71,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ark_tpu.ops.collectives import merge_lse
+from ark_tpu.ops.pallas.flash_lse import (
+    NEG,
+    flash_lse_final as _flash_lse_final,
+    flash_lse_init as _flash_lse_init,
+    flash_lse_update as _flash_lse_update,
+)
+
 VBLOCK = 512
-NEG = -1e30
 
 # rows per kernel invocation: bounds VMEM (y + logits + gumbel temporaries
 # scale with rows; 512 rows compile within the 16 MB scoped-vmem budget at
 # d=512/vblock<=1024, 2048 rows do not). Larger batches are row-chunked.
 ROWCHUNK = 512
+
+
+def _check_tile_and_temp(vblock, v, temperature):
+    """ValueErrors, not asserts: under ``python -O`` a non-dividing tile
+    would silently truncate the vocabulary (grid = V // vblock), and a
+    falsy temperature=0.0 would silently sample at T=1."""
+    if not (vblock and vblock > 0 and v % vblock == 0):
+        raise ValueError(f"no vocab tile divides V={v} (vblock={vblock}; "
+                         "callers gate on supported())")
+    if temperature is not None and float(temperature) <= 0.0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature!r} (greedy decode "
+            "is a separate path; T=0 would silently sample at T=1 here)")
 
 
 def pick_vblock(v):
@@ -123,23 +143,8 @@ def _uniform_from_bits(bits):
     return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 1.0 / (1 << 25)
 
 
-def _flash_lse_init(m_scr, l_scr):
-    m_scr[:] = jnp.full_like(m_scr, NEG)
-    l_scr[:] = jnp.zeros_like(l_scr)
-
-
-def _flash_lse_update(m_scr, l_scr, logits):
-    """One streaming log-sum-exp block update (the single spec both the
-    Gumbel pass A and the CDF LSE pass must match)."""
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    l_scr[:] = l_scr[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-        jnp.exp(logits - m_new), axis=1, keepdims=True)
-    m_scr[:] = m_new
-
-
-def _flash_lse_final(m_scr, l_scr):
-    return m_scr[:] + jnp.log(l_scr[:])
+# _flash_lse_init/_flash_lse_update/_flash_lse_final live in flash_lse.py —
+# the single streaming-LSE spec shared with the fused CE kernel
 
 
 def _pass_a_kernel(seed_ref, ofs_ref, y_ref, w_ref, b_ref,
@@ -559,8 +564,7 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
     v_true = v_true or w.shape[0]
     vblock = vblock if vblock else pick_vblock(w.shape[0])
     rowchunk = int(rowchunk) if rowchunk else ROWCHUNK
-    assert vblock > 0 and w.shape[0] % vblock == 0, \
-        f"no vocab tile divides V={w.shape[0]} (callers gate on supported())"
+    _check_tile_and_temp(vblock, w.shape[0], temperature)
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)
     # mm_dtype (``fused_sample_dtype``): the head streams in this dtype —
@@ -643,13 +647,6 @@ def _accept_loop(draw, seed, top_p, max_rounds):
     return token.astype(jnp.int32)
 
 
-def _merge_lse(lse_local, axis_name):
-    """Cross-shard flash-LSE merge (per-row): ops/collectives.merge_lse."""
-    from ark_tpu.ops.collectives import merge_lse
-
-    return merge_lse(lse_local, axis_name)
-
-
 def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
                                axis_name="model", temperature=1.0,
                                k_cands=4, max_rounds=4, vblock=None,
@@ -673,7 +670,7 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
         the lowest global id, matching the unsharded kernel's first-block-
         wins rule), the candidate logit by a masked psum, the logsumexp by
         the flash merge.
-      cdf: per-shard flash LSE -> global lse (_merge_lse); each shard's
+      cdf: per-shard flash LSE -> global lse (ops/collectives.merge_lse); each shard's
         prefix scan starts at the softmax mass of all earlier shards
         (exp(lse_shard - lse) all-gathered), stitching one global CDF; the
         first found (smallest) global index wins by pmin; targets beyond
@@ -692,8 +689,7 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
     v_shard = w.shape[0]
     vblock = vblock if vblock else pick_vblock(v_shard)
     rowchunk = int(rowchunk) if rowchunk else ROWCHUNK
-    assert vblock > 0 and v_shard % vblock == 0, \
-        f"no vocab tile divides V_shard={v_shard} (callers gate on supported())"
+    _check_tile_and_temp(vblock, v_shard, temperature)
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)
     w = w.astype(jnp.dtype(mm_dtype))
@@ -726,7 +722,7 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
     if strategy == "cdf":
         lse_s = _compute_lse(y, w, b, v_true=v_true, inv_temp=inv_temp,
                              vblock=vblock, col_ofs=ofs)
-        lse = _merge_lse(lse_s, axis_name)
+        lse = merge_lse(lse_s, axis_name)
         # softmax mass of all EARLIER shards = this shard's prefix origin
         mass_s = jnp.exp(lse_s - lse)                       # [n, 1]
         all_mass = jax.lax.all_gather(mass_s, axis_name)    # [nm, n, 1]
@@ -761,7 +757,7 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
                 y, w, b, s, v_true=v_true, k_cands=k_cands,
                 inv_temp=inv_temp, vblock=vblock, col_ofs=ofs,
                 noise="race" if strategy == "expmin" else "log")
-            lse = _merge_lse(lse_s, axis_name)
+            lse = merge_lse(lse_s, axis_name)
             bg_max = jax.lax.pmax(bg_s, axis_name)
             idx_f = jnp.where(bg_s == bg_max, idx_s, BIG)
             idx = jax.lax.pmin(idx_f, axis_name)  # lowest id among ties

@@ -316,6 +316,18 @@ def test_k_cands_override_greedy_and_nucleus():
     assert (got_cdf >= 0).all() and (got_cdf < 500).all()
 
 
+def test_kernel_rejects_bad_tile_and_temperature():
+    # ValueErrors, not asserts: under python -O a non-dividing tile would
+    # silently truncate the vocabulary; temperature=0.0 would silently
+    # sample at T=1 (round-4 kernel review findings)
+    y, w, bias = _data()
+    with pytest.raises(ValueError, match="vocab tile"):
+        fused_top_p_sample(y, w, bias, jnp.int32(1), 0.9, vblock=384)
+    with pytest.raises(ValueError, match="temperature"):
+        fused_top_p_sample(y, w, bias, jnp.int32(1), 0.9, vblock=VB,
+                           temperature=0.0)
+
+
 def test_tile_override_validation():
     from ark_tpu.sample import make_sampler
     from ark_tpu.train.loop import SamplerBank
