@@ -137,9 +137,36 @@ class DatasetDownloader:
         # meta.json marks them as ours, ADOPT them — never overwrite user
         # data with generated surrogates.
         existing = [Path(p) for p in get_file_paths(name)]
-        if all(p.exists() for p in existing) and not self._meta_path(name).exists():
-            self._adopt_external(name, existing)
-            return
+        have = [p for p in existing if p.exists()]
+        if have and not self._meta_path(name).exists():
+            if len(have) == len(existing):
+                self._adopt_external(name, existing)
+                return
+            # SOME split files exist but not all, and nothing marks them as
+            # generated — they may be real user exports. Refuse rather than
+            # silently overwrite ("never overwrite user data"); a partial
+            # copy is a user error to resolve, not ours to paper over.
+            missing = [str(p) for p in existing if not p.exists()]
+            raise FileExistsError(
+                f"dataset '{name}': found existing split file(s) "
+                f"{[str(p) for p in have]} without meta.json, but "
+                f"{missing} are missing. Refusing to generate surrogate "
+                "data over possible user files — supply all of "
+                f"{[p.name for p in existing]} (bring-your-own data, "
+                "docs/DATASETS.md) or remove the partial files to get "
+                "generated surrogates.")
+        if have and self._meta_path(name).exists() and len(have) != len(
+                existing):
+            # meta exists but a split file vanished: if the meta says the
+            # data was user-supplied, regenerating would replace the
+            # REMAINING real files with surrogates
+            with open(self._meta_path(name)) as f:
+                if json.load(f).get("source") == "external":
+                    raise FileExistsError(
+                        f"dataset '{name}': adopted external data is "
+                        "missing some split files; restore them or delete "
+                        f"the whole directory {_dataset_dir(name)} to "
+                        "regenerate surrogates")
         splits = generate_splits(name, sizes=sizes)
         checksums = {}
         for split_name, graphs in zip(_SPLITS, splits):

@@ -80,13 +80,21 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
     rng = jax.random.key(seed)
     rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
 
-    triples, seq, w = bundle.device_eval(data_split, config["batch_size"])
+    # compute the row cap on the HOST copies before device placement —
+    # pulling the split back from the device just for numpy is a wasted
+    # multi-MB tunnel round-trip
+    h_triples, h_seq, h_w = bundle.host_eval(data_split,
+                                             config["batch_size"])
+    config["ce_row_cap_eval"] = eval_row_cap(config, layout, h_seq, h_w,
+                                             device_mesh)
+    import jax.numpy as jnp
+
+    triples, seq, w = (jnp.asarray(h_triples), jnp.asarray(h_seq),
+                       jnp.asarray(h_w))
     if device_mesh is not None:
         from ark_tpu.parallel import replicate
 
         triples, seq, w = replicate((triples, seq, w), device_mesh)
-    config["ce_row_cap_eval"] = eval_row_cap(config, layout, seq, w,
-                                             device_mesh)
     _, eval_epoch = make_epoch_fns(model, layout, config, mesh=device_mesh)
     m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
 
@@ -94,8 +102,10 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
                            sample_frac=float(config.get("sample_frac", 0.1)),
                            rng=k_comp, mesh=device_mesh)
 
+    # family-dependent reference default (ablation_study.py:255,299)
     target_n = int(num_samples
-                   or config.get("num_generated_latent_graphs", 1000))
+                   or config.get("num_generated_latent_graphs",
+                                 10000 if is_vae else 1000))
     sampler_bank = SamplerBank(model, layout, config, mesh=device_mesh)
     title = "graphs from random latent" if is_vae else "ARK samples"
     res, graphs = sample_and_evaluate(model, params, bundle, config, k_sample,

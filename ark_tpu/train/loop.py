@@ -79,9 +79,11 @@ class DataBundle:
     def device_train(self):
         return jnp.asarray(self.train.triples), jnp.asarray(self.train.seq)
 
-    def device_eval(self, split, batch_size):
+    def host_eval(self, split, batch_size):
         """Pad split to a multiple of batch_size; returns (triples, seq,
-        row_weights) device arrays."""
+        row_weights) NUMPY arrays — host-side consumers (the startup
+        row-cap computation) must not round-trip the splits through the
+        ~30 ms-latency device tunnel just to fetch them straight back."""
         data = getattr(self, split)
         n = len(data)
         m = max(1, math.ceil(n / batch_size)) * batch_size
@@ -91,6 +93,11 @@ class DataBundle:
         triples[:n] = data.triples
         seq[:n] = data.seq
         w[:n] = 1.0
+        return triples, seq, w
+
+    def device_eval(self, split, batch_size):
+        """``host_eval`` placed on device."""
+        triples, seq, w = self.host_eval(split, batch_size)
         return jnp.asarray(triples), jnp.asarray(seq), jnp.asarray(w)
 
 
@@ -341,6 +348,14 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     config.setdefault("vocab_pad_multiple",
                       1024 if bundle.layout.vocab_size >= 8192 else 128)
     layout = bundle.layout
+    if len(bundle.train) < int(config["batch_size"]):
+        # the epoch scan drops the last partial batch (reference DataLoader
+        # drop_last semantics): a split smaller than one batch would scan
+        # ZERO batches and "train" to NaN metrics without ever erroring
+        raise ValueError(
+            f"train split has {len(bundle.train)} graphs < batch_size "
+            f"{config['batch_size']} — no full batch to train on; lower "
+            "batch_size")
     print(f"Dataset: {bundle.name}")
     print(f"Entities: {layout.num_entities}, Relations: {layout.num_relations}, "
           f"vocab: {layout.vocab_size}, seq_len: {layout.seq_len}")
@@ -356,12 +371,14 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         from ark_tpu.parallel import make_mesh
         axes = dict(config.get("mesh_axes") or {"data": n_dev})
         shard_vocab = bool(config.get("shard_vocab", False)) and "model" in axes
-        if shard_vocab and "data" not in axes:
-            # fail at startup, not at the first verification epoch hours in:
-            # the vocab-sharded kernels' shard_map specs and per-data-shard
-            # seed decorrelation require a 'data' axis (size 1 is fine)
+        if "data" not in axes:
+            # fail at startup, not at the first-epoch compile minutes in:
+            # the trainer's batch/state sharding constraints build
+            # P('data', ...) specs, and the vocab-sharded kernels' shard_map
+            # specs / per-data-shard seed decorrelation also require the
+            # axis (size 1 is fine)
             raise ValueError(
-                "shard_vocab requires a 'data' axis in mesh_axes (use e.g. "
+                "mesh_axes requires a 'data' axis (use e.g. "
                 f"{{'data': 1, 'model': {axes.get('model')}}}); got {axes}")
         if int(config["batch_size"]) % int(axes.get("data", 1)) == 0:
             mesh = make_mesh(axes)
@@ -392,9 +409,26 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         path = config["checkpoint_path"]
         if os.path.exists(path):
             ckpt = load_checkpoint(path)
-            state = TrainState(to_device_tree(ckpt["model_state_dict"]),
-                               to_device_tree(ckpt["optimizer_state_dict"]))
-            start_epoch = int(ckpt["epoch"])
+            if ckpt.get("optimizer_state_dict") is None:
+                # reference torch checkpoints carry no convertible
+                # optimizer state (utils/torch_interop.py): resume the
+                # weights with FRESH Adam moments rather than crashing at
+                # first-epoch trace time inside optax
+                warnings.warn(
+                    f"{path} has no optimizer state (torch-format "
+                    "checkpoint?); resuming weights with a fresh "
+                    "optimizer", UserWarning, stacklevel=2)
+                from ark_tpu.train.state import adam_tx
+                params = to_device_tree(ckpt["model_state_dict"])
+                state = TrainState(params, adam_tx(
+                    config.get("adam_state_dtype")).init(params))
+            else:
+                state = TrainState(
+                    to_device_tree(ckpt["model_state_dict"]),
+                    to_device_tree(ckpt["optimizer_state_dict"]))
+            # bare torch state_dicts may carry no epoch (torch_interop
+            # fills None) — resume from 0 rather than int(None) crashing
+            start_epoch = int(ckpt.get("epoch") or 0)
             best_val_loss = float(ckpt.get("best_val_loss",
                                            ckpt.get("val_loss", float("inf"))))
             resumed_comp_bits = float(ckpt.get("best_comp_bits", 1e12))
@@ -432,8 +466,11 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         # final evaluation (test split) — bound over both
         caps = []
         for split in ("val", "test"):
-            _, eseq, ew = bundle.device_eval(split, config["batch_size"])
-            caps.append(compute_ce_row_cap(np.asarray(eseq), pad,
+            # host_eval, NOT device_eval: the cap is pure numpy — pushing
+            # both splits through the tunnel to fetch them right back
+            # wasted two multi-MB round-trips per startup
+            _, eseq, ew = bundle.host_eval(split, config["batch_size"])
+            caps.append(compute_ce_row_cap(eseq, pad,
                                            config["batch_size"],
                                            row_weights=ew,
                                            n_shards=n_shards))
@@ -456,7 +493,11 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     save_every = int(config.get("save_every", 10))
     comp_every = int(config.get("compression_log_every", 5))
     sample_frac = float(config.get("sample_frac", 0.1))
-    target_n = int(config.get("num_generated_latent_graphs", 1000))
+    # the reference defaults 1000 for ARK/t-ARK but 10000 for the VAE
+    # family at BOTH periodic and final verification (ablation_study.py:
+    # 255,299,641,684 — the family branches read different defaults)
+    target_n = int(config.get("num_generated_latent_graphs",
+                              10000 if model.kind == "vae" else 1000))
 
     timer = PhaseTimer()
     vocabs = {"e2i": bundle.e2i, "i2e": bundle.i2e,
@@ -657,7 +698,9 @@ def final_validation(model, state, bundle, config, run, rng, sampler_bank,
     }
     print(f"Final compression: {stats['avg_total_bits']:.2f} bits/graph")
 
-    target_n = int(config.get("num_generated_latent_graphs", 1000))
+    # family-dependent reference default (ablation_study.py:255,299)
+    target_n = int(config.get("num_generated_latent_graphs",
+                              10000 if is_vae else 1000))
     title = "graphs from random latent" if is_vae else "ARK samples"
     res, graphs = sample_and_evaluate(model, state.params, bundle, config,
                                       k_sample, target_n, sampler_bank, title)

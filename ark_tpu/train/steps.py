@@ -158,9 +158,15 @@ def _make_adam_apply(config, mesh):
     # in docs/BENCH_NOTES.md. "xla" (one multi-output tree_map) is
     # bit-identical and throughput-neutral; both stay available for A/B.
     mode = cfg.get("use_fused_adam", False)
-    fused = bool(mode) and mesh is None \
-        and not cfg.get("adam_state_dtype")
-    interpret = bool(cfg.get("fused_adam_interpret"))
+    # safety conditions for the Pallas kernel: GSPMD owns sharded states,
+    # and the kernel's f32 moments can't carry a bf16 moment dtype
+    fused_ok = mesh is None and not cfg.get("adam_state_dtype")
+    fused = bool(mode) and fused_ok
+    # test-only interpret mode (CPU) rides the SAME safety conditions and
+    # never overrides an explicit 'xla' selection — previously it forced
+    # the Pallas path onto sharded/bf16-moment states it was excluded from
+    interpret = (bool(cfg.get("fused_adam_interpret")) and fused_ok
+                 and mode != "xla")
     if (fused and mode != "xla") or interpret:
         from ark_tpu.ops.pallas.adam import fused_adam_apply
 

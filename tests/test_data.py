@@ -161,6 +161,35 @@ def test_external_data_adopted_not_overwritten(tmp_path, monkeypatch):
     assert again[0] == train_g
 
 
+def test_partial_external_data_refused_not_overwritten(tmp_path, monkeypatch):
+    """A PARTIAL bring-your-own copy (only some split files present, no
+    meta.json) must refuse to generate, not open the user's file with
+    mode 'w' and replace it with surrogates (round-4 review finding);
+    same for adopted external data with a split file later deleted."""
+    from ark_tpu.data import loader
+
+    monkeypatch.setenv("ARK_TPU_DATA_DIR", str(tmp_path))
+    d = tmp_path / "syn-paths"
+    d.mkdir()
+    body = "amsterdam\tdrive_to\tutrecht\n"
+    (d / "train.tsv").write_text(body)
+    with pytest.raises(FileExistsError, match="Refusing to generate"):
+        loader.ensure_dataset("syn-paths")
+    assert (d / "train.tsv").read_text() == body  # untouched
+
+    # complete the copy -> adopted; then delete one split: regeneration
+    # must refuse (remaining files are real user data)
+    (d / "valid.tsv").write_text(body)
+    (d / "test.tsv").write_text(body)
+    loader.ensure_dataset("syn-paths")
+    import json as _json
+    assert _json.loads((d / "meta.json").read_text())["source"] == "external"
+    (d / "valid.tsv").unlink()
+    with pytest.raises(FileExistsError, match="external data is missing"):
+        loader.ensure_dataset("syn-paths")
+    assert (d / "train.tsv").read_text() == body
+
+
 def test_external_data_malformed_rejected(tmp_path, monkeypatch):
     from ark_tpu.data import loader
 

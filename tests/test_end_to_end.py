@@ -241,6 +241,47 @@ def test_train_cli_vocab_sharded_mesh(small_datasets, tmp_path):
         os.path.join(run_dir, "syn-paths_ARK_best_model.pt"))
 
 
+def test_train_cli_startup_guards(small_datasets, tmp_path):
+    """Fail-at-startup policy (round-4 review findings): a train split
+    smaller than one batch would scan ZERO batches and 'train' to NaN;
+    a mesh without a 'data' axis would die minutes later inside the
+    first-epoch GSPMD compile."""
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, batch_size=10 ** 6)
+    with pytest.raises(ValueError, match="no full batch"):
+        main(["--config", cfg_path, "--checkpoint-dir", str(tmp_path / "a")])
+    cfg_path = _tiny_config(tmp_path, mesh_axes={"model": 8})
+    with pytest.raises(ValueError, match="'data' axis"):
+        main(["--config", cfg_path, "--checkpoint-dir", str(tmp_path / "b")])
+
+
+def test_resume_from_torch_checkpoint_gets_fresh_optimizer(small_datasets,
+                                                           tmp_path):
+    """Resuming from a reference-format torch checkpoint (which carries no
+    convertible optimizer state, utils/torch_interop.py) must warn and
+    re-initialize Adam instead of crashing inside optax at trace time
+    (round-4 review finding)."""
+    from ark_tpu.experiments.train import main
+    from ark_tpu.experiments.export_torch import main as export_main
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=1)
+    ckpt_dir = str(tmp_path / "ckpts")
+    main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    src = os.path.join(run_dir, "syn-paths_ARK_best_model.pt")
+    torch_pt = str(tmp_path / "reference_format.pt")
+    export_main([src, torch_pt])
+
+    cfg_path2 = _tiny_config(tmp_path, num_epochs=2,
+                             resume_from_checkpoint=True,
+                             checkpoint_path=torch_pt)
+    with pytest.warns(UserWarning, match="no optimizer state"):
+        final = main(["--config", cfg_path2, "--checkpoint-dir",
+                      str(tmp_path / "resumed")])
+    assert "final_test/loss" in final
+
+
 def test_train_cli_mesh_fallback_drops_shard_vocab(small_datasets, tmp_path):
     """batch_size not divisible by the 'data' axis -> the promised
     single-device fallback must also drop shard_vocab, or SamplerBank's

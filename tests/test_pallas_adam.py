@@ -109,3 +109,36 @@ def test_train_step_with_fused_adam_matches_baseline():
     _tree_equal_bits(s_a.params, s_b.params)
     _tree_equal_bits(s_a.opt_state.mu, s_b.opt_state.mu)
     _tree_equal_bits(s_a.opt_state.nu, s_b.opt_state.nu)
+
+
+def test_fused_adam_interpret_respects_safety_conditions():
+    """fused_adam_interpret must ride the SAME safety conditions as the
+    real kernel selection: with bf16 Adam moments the f32-only Pallas
+    path must NOT engage (it returned f32 moments into a bf16 scan carry
+    — round-4 review finding); the optax path runs instead."""
+    from ark_tpu.data.tokenizer import build_vocab_layout
+    from ark_tpu.models import build_model
+    from ark_tpu.train import create_train_state
+    from ark_tpu.train.steps import make_train_step
+
+    layout = build_vocab_layout(20, 4, 3, 3, use_padding=False)
+    cfg = dict(model_type="ARK", d_model=128, d_latent=8, n_heads=2,
+               n_layers=2, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, batch_size=8,
+               n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               use_fused_ce=False, use_pallas_gru=False,
+               adam_state_dtype="bfloat16", fused_adam_interpret=True)
+    model = build_model(cfg)
+    pad = layout.special_tokens["PAD"]
+    step = make_train_step(model, pad, cfg)
+    seq = jax.random.randint(jax.random.key(1), (8, layout.seq_len), 0,
+                             layout.vocab_size)
+    triples = jnp.zeros((8, 3, 3), jnp.int32)
+    s = create_train_state(model, jax.random.key(0))
+    s, m = step(s, triples, seq, jax.random.key(2), 1e-3, 1.0)
+    assert jnp.isfinite(m["loss"])
+    # moments kept their configured dtype (the Pallas path would have
+    # returned f32)
+    leaf = jax.tree.leaves(s.opt_state.mu)[0]
+    assert leaf.dtype == jnp.bfloat16
