@@ -142,19 +142,11 @@ def _build_bits_fn(model, pad_id, mesh=None, shard_vocab=False):
                                              rng=rng, deterministic=True)
                 ar_bits = _ar_bits_fused(params, y, seq)
                 return ar_bits, kl_per_graph(mu, logv) / LN2
-            # split exactly like model.features does (k_enc, k_dec) so the
-            # fused and XLA paths draw the same z for the same seed
-            z, mu, logv = model.encode(params, triples,
-                                       jax.random.split(rng)[0])
-            if model.decoder_arch == "gru":
-                from ark_tpu.models.decoders import gru_cond_apply
-                logits = gru_cond_apply(params["dec"], z, seq[:, :-1],
-                                        deterministic=True)
-            else:
-                from ark_tpu.models.decoders import txf_cond_apply
-                logits = txf_cond_apply(params["dec"], z, seq[:, :-1],
-                                        model.config["n_heads"],
-                                        deterministic=True)
+            # model.apply splits rng into (k_enc, k_dec) and encodes with
+            # k_enc — the same z the fused path's model.features draws for
+            # the same seed (deterministic=True leaves k_dec unused)
+            logits, mu, logv = model.apply(params, triples, seq[:, :-1],
+                                           rng=rng, deterministic=True)
             nll = token_nll(logits, seq[:, 1:])
             mask = (seq[:, 1:] != pad_id).astype(jnp.float32)
             ar_bits = jnp.sum(nll * mask, axis=1) / LN2

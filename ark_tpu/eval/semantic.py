@@ -47,6 +47,13 @@ class SemanticEvaluator:
         n_valid = n_novel = n_valid_novel = n_empty = 0
         for g in self.predicted_graphs:
             valid = bool(g) and bool(self.rule_checker(g))
+            # NOTE: an EMPTY graph counts as novel (the empty frozenset is
+            # never in the train set), so novel_rate reads 100% for a
+            # degenerate EOS-only sampler — read it alongside the reported
+            # empty%. Whether the original intelligraphs evaluator excludes
+            # empties is unverifiable in this environment (see
+            # scripts/crosscheck_verifiers.py); headline selection uses
+            # valid&novel, where empties can never score (valid is False).
             novel = _canonical(g) not in train_set
             if not g:
                 n_empty += 1

@@ -117,8 +117,12 @@ def generate_test_graphs(model, params, layout, test_data, beam_width=4,
         tr[:take] = test_data.triples[start:stop]
         rng, k = jax.random.split(rng)
         z, _, _ = model.encode(params, jnp.asarray(tr), k)
-        seqs = decode_latent(model, params, layout, z, beam=beam_width)
-        graphs = seqs_to_triples_batch(np.asarray(seqs)[:take],
+        # decode only the real rows: the batch-mean beam ranking (the
+        # reference Q-3 quirk) would otherwise let the zero-padded tail
+        # rows' log-probs steer which beams survive for the real rows
+        seqs = decode_latent(model, params, layout, z[:take],
+                             beam=beam_width)
+        graphs = seqs_to_triples_batch(np.asarray(seqs),
                                        layout.special_tokens,
                                        layout.ent_base, layout.rel_base)
         out.extend(graphs)

@@ -65,13 +65,7 @@ def mlp_encoder_init(key, n_entities, n_relations, d_model, d_latent,
 def mlp_encoder_apply(p, triples, rng, pad_rid=None, dtype=jnp.float32,
                       use_pallas_embed=False):
     x = _embed_triples(p, triples, dtype, use_pallas_embed)
-    if pad_rid is not None:
-        mask = (triples[:, :, 1] != pad_rid).astype(x.dtype)
-        x = x * mask[:, :, None]
-        denom = jnp.clip(mask.sum(axis=1, keepdims=True), 1, None)
-        g = x.sum(axis=1) / denom
-    else:
-        g = x.mean(axis=1)
+    g = _masked_mean(x, triples, pad_rid)
     for lp in p["mlp"]:
         g = jax.nn.gelu(linear(lp, g), approximate=False)
     mu = linear(p["mu"], g).astype(jnp.float32)
@@ -107,12 +101,7 @@ def txf_encoder_apply(p, triples, rng, n_heads, pad_rid=None,
         x = encoder_layer(lp, x, n_heads, key_padding_mask=key_padding_mask,
                           dropout_rate=dropout_rate, rng=lr,
                           deterministic=deterministic)
-    if pad_rid is not None:
-        mask = (triples[:, :, 1] != pad_rid).astype(x.dtype)
-        denom = jnp.clip(mask.sum(axis=1, keepdims=True), 1, None)
-        x = (x * mask[:, :, None]).sum(axis=1) / denom
-    else:
-        x = x.mean(axis=1)
+    x = _masked_mean(x, triples, pad_rid)
     mu = linear(p["mu"], x).astype(jnp.float32)
     logv = linear(p["logv"], x).astype(jnp.float32)
     z = _reparam(mu, logv, rngs[-1])

@@ -90,10 +90,26 @@ def gru_apply(params, x, h0=None, *, dropout_rate=0.0, rng=None,
         if supported_stack(b // n_data, hidden, len(layers)):
             return _gru_apply_stack(layers, x, h0, dropout_rate, rng,
                                     deterministic, mesh, hidden)
+    if mode == "stack":
+        # an EXPLICITLY forced kernel that silently measured something
+        # else would invalidate an A/B (same standard as the sampler's
+        # fused_sample_vblock warning)
+        import warnings
+        warnings.warn(
+            f"use_pallas_gru='stack' requested but unsupported here "
+            f"(per-shard batch {b // n_data}, hidden {hidden}, "
+            f"{len(layers)} layer(s), dtype {x.dtype}); falling back to "
+            "the per-layer kernel / lax.scan")
     pallas_ok = False
-    if mode in ("auto", "perlayer") and b % n_data == 0:
+    if mode in ("auto", "perlayer", "stack") and b % n_data == 0:
         from ark_tpu.ops.pallas.gru_scan import supported
         pallas_ok = supported(b // n_data, hidden) and x.dtype == jnp.float32
+    if mode in ("perlayer", "stack") and not pallas_ok:
+        import warnings
+        warnings.warn(
+            f"use_pallas_gru={mode!r} requested but the per-layer kernel "
+            f"is unsupported here (per-shard batch {b // n_data}, hidden "
+            f"{hidden}, dtype {x.dtype}); falling back to lax.scan")
     h_finals = []
     out = x
     for li, lp in enumerate(layers):

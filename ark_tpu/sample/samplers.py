@@ -31,16 +31,30 @@ NEG_INF = -1e30
 
 
 def filter_top_k(probs, top_k: int):
-    """Keep the top_k highest-probability tokens (0 < top_k < V), renormalize."""
-    thresh = jax.lax.top_k(probs, top_k)[0][..., -1:]
-    kept = jnp.where(probs >= thresh, probs, 0.0)
+    """Keep EXACTLY the top_k highest-probability tokens (0 < top_k < V),
+    renormalize — positional like the reference's topk+scatter
+    (conditioned.py:86-91), not a value threshold: with ties at the
+    boundary a `probs >= thresh` rule would keep MORE than k tokens and
+    renormalize to a different distribution."""
+    _, idx = jax.lax.top_k(probs, top_k)
+    mask = jnp.put_along_axis(jnp.zeros_like(probs), idx,
+                              jnp.ones((), probs.dtype), axis=-1,
+                              inplace=False)
+    kept = probs * mask
     return kept / jnp.clip(kept.sum(-1, keepdims=True), 1e-12, None)
 
 
 def filter_top_p(probs, top_p: float):
     """Nucleus filtering with the reference's shifted-cutoff rule
     (conditioned.py:93-100): sort desc, keep tokens until the cumulative
-    probability first exceeds top_p (the crossing token stays)."""
+    probability first exceeds top_p (the crossing token stays).
+
+    Known deviation (docs/DESIGN.md): EXACT probability ties at the
+    nucleus boundary are all kept (value threshold), where the reference's
+    positional cutoff keeps only those before the crossing index in sort
+    order. The fused Pallas sampler's strictly-above-mass acceptance rule
+    implements the same ties-kept nucleus, so the two repo paths agree
+    exactly; measure-zero for trained models."""
     sp = jnp.sort(probs, axis=-1)[..., ::-1]
     cdf = jnp.cumsum(sp, axis=-1)
     cutoff = cdf > top_p
@@ -250,6 +264,13 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                                        or int(fused_rowchunk) % 8):
         raise ValueError(f"fused_rowchunk must be a positive multiple of 8, "
                          f"got {fused_rowchunk!r}")
+    if mesh is not None and "data" not in dict(mesh.shape):
+        # fail at build time: the decode-state/token pins build
+        # P('data', ...) sharding constraints, which would otherwise die
+        # with an obscure GSPMD error at first trace (the trainer guards
+        # this at startup; direct callers deserve the same)
+        raise ValueError("make_sampler requires a 'data' axis in the mesh "
+                         f"(size 1 is fine); got {dict(mesh.shape)}")
     if fused_k_cands is not None and not 2 <= int(fused_k_cands) <= 8:
         # k=1 would push the keep-last residual bias to (1-top_p)^max_rounds
         # (~1e-4 at the 0.9 default) — outside the shared bias budget
@@ -294,6 +315,18 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
 
     def _scan_sample(params, rng, state, batch):
         use_fused = False
+        if fused_vblock and not fused_model_ok:
+            # an explicit tile request that silently measured the XLA
+            # fallback would invalidate a hardware A/B — this leg covers
+            # the model/config gates (the shape gates warn below)
+            import warnings
+            warnings.warn(
+                "fused sampling disengaged despite explicit "
+                f"fused_sample_vblock={fused_vblock}: the fused kernel "
+                "needs pure top-p sampling (sample=True, 0<top_p<1, no "
+                "top_k), a TPU backend (or fused=True), vocab > 4096, and "
+                "a tied head exposing decode features; falling back to "
+                "the XLA sampling path")
         if fused_model_ok:
             from ark_tpu.ops.pallas.sample_step import (
                 fused_top_p_sample, fused_top_p_sample_sharded,
@@ -306,10 +339,9 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
             w_head = w_head.astype(mm_dtype)
             nd = 1 if mesh is None else dict(mesh.shape).get("data", 1)
             nm = 1 if mesh is None else dict(mesh.shape).get("model", 1)
-            # the sharded kernel's shard_map specs need a 'data' axis (size
-            # 1 is fine); a model-only mesh falls back to the XLA path
-            vocab_sharded = bool(shard_vocab and nm > 1
-                                 and "data" in dict(mesh.shape))
+            # a 'data' axis is guaranteed by the build-time mesh guard
+            # above (size 1 is fine)
+            vocab_sharded = bool(shard_vocab and nm > 1)
             if vocab_sharded:
                 # per-(data, vocab)-shard kernel shapes: each device holds
                 # a V/nm head slice and a batch/nd row block

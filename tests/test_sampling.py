@@ -81,6 +81,54 @@ def test_filtering_matches_reference_semantics(top_k, top_p):
         np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-6)
 
 
+def test_top_k_ties_keep_exactly_k():
+    """Positional exact-k like the reference's topk+scatter
+    (conditioned.py:86-91): a value threshold would keep ALL boundary
+    ties and renormalize to a different distribution (round-4 review
+    finding)."""
+    from ark_tpu.sample.samplers import filter_top_k
+
+    probs = jnp.asarray([[0.4, 0.3, 0.3, 0.0]])
+    out = np.asarray(filter_top_k(probs, 2))
+    assert (out > 0).sum() == 2
+    np.testing.assert_allclose(out[0, 0], 0.4 / 0.7, rtol=1e-6)
+
+
+def test_generate_test_graphs_tail_batch_unaffected_by_padding():
+    """The ragged tail batch must decode identically to a full-batch run
+    of just its real rows: the batch-mean beam ranking would otherwise be
+    steered by zero-padded filler rows (round-4 review finding)."""
+    from ark_tpu.eval.verification_extra import generate_test_graphs
+
+    class _Data:
+        def __init__(self, triples):
+            self.triples = triples
+
+        def __len__(self):
+            return len(self.triples)
+
+    layout = build_vocab_layout(12, 3, 2, 2, use_padding=False)
+    cfg = dict(model_type="SAIL", d_model=16, d_latent=4, n_heads=2,
+               n_layers=1, seq_len=layout.seq_len,
+               vocab_size=layout.vocab_size, n_entities=layout.num_entities,
+               n_relations=layout.num_relations, dec_dropout=0.0,
+               batch_size=4, tie_weights=True, use_pallas_gru=False)
+    m = build_model(cfg)
+    params = m.init(jax.random.key(0))
+    rng = np.random.default_rng(7)
+    triples = rng.integers(0, 3, size=(5, 2, 3)).astype(np.int32)
+    # 5 rows at batch_size=4 -> second batch has 1 real + 3 padded rows
+    padded = generate_test_graphs(m, params, layout, _Data(triples),
+                                  beam_width=2, batch_size=4,
+                                  rng=jax.random.key(1))
+    # the tail row decoded alone, with the rng stream aligned to the
+    # padded run's SECOND batch (one split consumed by its first batch)
+    r1 = jax.random.split(jax.random.key(1))[0]
+    alone = generate_test_graphs(m, params, layout, _Data(triples[4:]),
+                                 beam_width=2, batch_size=1, rng=r1)
+    assert padded[4] == alone[0]
+
+
 def test_temperature():
     logits = jnp.asarray([[1.0, 2.0, 3.0]])
     p = np.asarray(process_logits(logits, temperature=0.5))
