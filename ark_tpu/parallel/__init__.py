@@ -1,6 +1,7 @@
 from ark_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
+    opt_state_shardings,
     batch_sharding,
     place_state,
     place_batch,
@@ -9,6 +10,6 @@ from ark_tpu.parallel.mesh import (
     make_parallel_sampler,
 )
 
-__all__ = ["make_mesh", "param_shardings", "batch_sharding", "place_state",
-           "place_batch", "replicate", "make_parallel_train_step",
-           "make_parallel_sampler"]
+__all__ = ["make_mesh", "param_shardings", "opt_state_shardings",
+           "batch_sharding", "place_state", "place_batch", "replicate",
+           "make_parallel_train_step", "make_parallel_sampler"]

@@ -10,7 +10,8 @@ tied output-projection matmul across the mesh so each chip holds V/n rows and
 the cross-entropy's logsumexp runs as an XLA collective.
 
 Axes:
-  - 'data'  — batch dimension (DP)
+  - 'data'  — batch dimension (DP); opt-in ZeRO-1: Adam moments sharded
+    over it too (``shard_opt_state: true`` — see ``opt_state_shardings``)
   - 'model' — vocabulary dimension of tok_emb / output head (TP)
 
 PP / SP / EP / context parallelism are intentionally absent: sequences are
@@ -75,6 +76,63 @@ def param_shardings(params, mesh: Mesh, shard_vocab: bool = False):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+# ZeRO-1 threshold: only moments at least this many elements are sharded
+# over 'data' — below it, the per-leaf collective latency outweighs the
+# saved HBM traffic (biases / layernorm vectors are a few KB).
+_ZERO1_MIN_ELEMS = 16384
+
+
+def opt_leaf_sharding(pstr: str, shape, mesh: Mesh, shard_vocab: bool,
+                      shard_opt: bool) -> NamedSharding:
+    """Sharding for ONE optimizer-state leaf (path string + shape).
+
+    Moments mirror their params' vocab sharding (they must live where the
+    params live). With ``shard_opt`` (ZeRO-1, Rajbhandari et al. 2020 —
+    here as pure GSPMD sharding annotations, no manual collectives), large
+    moment tensors are additionally sharded over 'data': each DP rank then
+    reads/writes 1/n_data of the Adam state per step, shrinking the
+    HBM-bound optimizer update (the second-largest line in the traced
+    wd-articles step, docs/BENCH_NOTES.md) by the DP degree, while XLA
+    moves the gradient as reduce-scatter + param all-gather instead of
+    all-reduce (same bytes). Values are bit-identical — the per-element
+    update math is unchanged, only its placement moves."""
+    axes = dict(mesh.shape)
+    nd = axes.get("data", 1)
+    ndim = len(shape)
+    size = 1
+    for s in shape:
+        size *= int(s)
+    has_model = shard_vocab and "model" in mesh.axis_names
+    dp_ok = (shard_opt and "data" in mesh.axis_names
+             and size >= _ZERO1_MIN_ELEMS)
+    if has_model and ndim >= 1 and _is_vocab_leaf(pstr):
+        if "tok_emb" in pstr and ndim == 2:                    # [V, d]
+            if dp_ok and shape[1] % nd == 0:
+                return NamedSharding(mesh, P("model", "data"))
+            return NamedSharding(mesh, P("model", None))
+        if "['out']" in pstr and pstr.endswith("['w']") and ndim == 2:
+            if dp_ok and shape[0] % nd == 0:                   # [d, V]
+                return NamedSharding(mesh, P("data", "model"))
+            return NamedSharding(mesh, P(None, "model"))
+        if "['out']" in pstr and pstr.endswith("['b']") and ndim == 1:
+            return NamedSharding(mesh, P("model"))             # [V]
+    if dp_ok and ndim >= 1 and shape[0] % nd == 0:
+        return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    return NamedSharding(mesh, P())
+
+
+def opt_state_shardings(opt_state, mesh: Mesh, shard_vocab: bool = False,
+                        shard_opt: bool = False):
+    """NamedSharding tree for the optimizer-state pytree (see
+    ``opt_leaf_sharding``). With ``shard_opt=False`` this reproduces the
+    params' shardings (moments co-located with their params)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: opt_leaf_sharding(
+            jax.tree_util.keystr(path), jnp.shape(x), mesh, shard_vocab,
+            shard_opt),
+        opt_state)
+
+
 def batch_sharding(mesh: Mesh):
     """Shard the leading (batch) axis over 'data', replicate the rest."""
     def make(x):
@@ -82,13 +140,15 @@ def batch_sharding(mesh: Mesh):
     return make
 
 
-def place_state(state: TrainState, mesh: Mesh,
-                shard_vocab: bool = False) -> TrainState:
-    """Put params/opt_state on the mesh per ``param_shardings``."""
+def place_state(state: TrainState, mesh: Mesh, shard_vocab: bool = False,
+                shard_opt: bool = False) -> TrainState:
+    """Put params/opt_state on the mesh: params per ``param_shardings``,
+    optimizer state per ``opt_state_shardings`` (ZeRO-1 when ``shard_opt``)."""
     params = jax.device_put(state.params,
                             param_shardings(state.params, mesh, shard_vocab))
     opt_state = jax.device_put(
-        state.opt_state, param_shardings(state.opt_state, mesh, shard_vocab))
+        state.opt_state,
+        opt_state_shardings(state.opt_state, mesh, shard_vocab, shard_opt))
     return TrainState(params, opt_state)
 
 
@@ -122,8 +182,10 @@ def make_parallel_train_step(model, layout, config, mesh: Mesh,
     pad_id = layout.special_tokens["PAD"]
     step = make_train_step(model, pad_id, config, mesh=mesh,
                            shard_vocab=shard_vocab)
+    shard_opt = bool((config or {}).get("shard_opt_state", False))
     return (step,
-            lambda state: place_state(state, mesh, shard_vocab),
+            lambda state: place_state(state, mesh, shard_vocab,
+                                      shard_opt=shard_opt),
             lambda arr: place_batch(arr, mesh))
 
 

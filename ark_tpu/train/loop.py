@@ -441,7 +441,11 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
     if mesh is not None:
         from ark_tpu.parallel import place_state, replicate
-        state = place_state(state, mesh, shard_vocab)
+        shard_opt = bool(config.get("shard_opt_state", False))
+        state = place_state(state, mesh, shard_vocab, shard_opt=shard_opt)
+        if shard_opt:
+            print("ZeRO-1: Adam moments sharded over the 'data' axis "
+                  "(shard_opt_state: true)")
 
         def _repl(arrs):
             return replicate(arrs, mesh)

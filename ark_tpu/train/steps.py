@@ -76,6 +76,33 @@ def _batch_constrainer(mesh):
     return constrain
 
 
+def _state_constrainer(config, mesh, shard_vocab):
+    """ZeRO-1 pin (``shard_opt_state: true``): inside jit, constrain the
+    post-update optimizer state to its data-sharded layout and the params
+    to their (replicated / vocab-sharded) layout. Without the pin, GSPMD is
+    free to propagate the moments' 'data' sharding into the updated params
+    — which would re-all-gather them at every use next step instead of
+    once after the update — or to replicate the moments and erase the
+    ZeRO-1 saving inside the epoch scan's carry. Identity when the flag is
+    off (parallel/mesh.opt_leaf_sharding documents the layout)."""
+    if mesh is None or not (config or {}).get("shard_opt_state"):
+        return lambda state: state
+    from ark_tpu.parallel.mesh import opt_leaf_sharding, param_shardings
+
+    def constrain(state: TrainState) -> TrainState:
+        params = jax.tree.map(
+            jax.lax.with_sharding_constraint, state.params,
+            param_shardings(state.params, mesh, shard_vocab))
+        opt_state = jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.lax.with_sharding_constraint(
+                x, opt_leaf_sharding(jax.tree_util.keystr(path),
+                                     jnp.shape(x), mesh, shard_vocab, True)),
+            state.opt_state)
+        return TrainState(params, opt_state)
+
+    return constrain
+
+
 def _use_fused_ce(model: Model, config, mesh=None, shard_vocab=False,
                   backend_ok=None) -> bool:
     """The Pallas fused logits+CE kernel applies when requested (or 'auto'
@@ -266,13 +293,14 @@ def make_train_step(model: Model, pad_id: int, config=None, mesh=None,
     adam_apply = _make_adam_apply(config, mesh)
     loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
     constrain = _batch_constrainer(mesh)
+    constrain_state = _state_constrainer(config, mesh, shard_vocab)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, triples, seq, rng, lr, beta):
         triples, seq = constrain(triples), constrain(seq)
         (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, triples, seq, rng, beta)
-        state = adam_apply(state, grads, lr)
+        state = constrain_state(adam_apply(state, grads, lr))
         # metric loss = true ELBO (== the optimized value unless free_bits
         # floors the KL term; see _loss_fn)
         return state, {
@@ -329,6 +357,7 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
     adam_apply = _make_adam_apply(config, mesh)
     loss_fn = _loss_fn(model, pad_id, config, mesh, shard_vocab)
     constrain = _batch_constrainer(mesh)
+    constrain_state = _state_constrainer(config, mesh, shard_vocab)
     is_vae = model.kind == "vae"
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -355,7 +384,7 @@ def make_epoch_fns(model: Model, layout, config, mesh=None,
             triples, seq = constrain(triples), constrain(seq)
             (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, triples, seq, k_drop, beta)
-            state = adam_apply(state, grads, lr)
+            state = constrain_state(adam_apply(state, grads, lr))
             # metric loss = true ELBO (matches eval_epoch; free_bits floors
             # only the optimized objective)
             return (state, rng), jnp.stack([ce + beta * kl, ce, kl])

@@ -185,6 +185,112 @@ def test_epoch_fns_mesh_matches_single_device(small_datasets):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("axes,shard_vocab", [
+    ({"data": 8}, False),
+    ({"data": 4, "model": 2}, True),
+])
+def test_zero1_opt_sharding_matches_single_device(axes, shard_vocab,
+                                                  monkeypatch):
+    """ZeRO-1 (``shard_opt_state: true``): Adam moments sharded over 'data'
+    produce bit-for-the-same-tolerance results as the replicated layout, the
+    moments actually live data-sharded, and the jitted step's carry keeps
+    them sharded (parallel/mesh.opt_leaf_sharding,
+    train/steps._state_constrainer)."""
+    import ark_tpu.parallel.mesh as mesh_mod
+    # the real threshold (16384 elems) targets production-size moments;
+    # shrink it so the toy model's GRU/MLP moments shard
+    monkeypatch.setattr(mesh_mod, "_ZERO1_MIN_ELEMS", 64)
+
+    cfg = dict(CFG, shard_opt_state=True)
+    m = build_model(cfg)
+    mesh = make_mesh(axes)
+    step, place_state, place_batch = make_parallel_train_step(
+        m, LAYOUT, cfg, mesh, shard_vocab=shard_vocab)
+    state_p = place_state(create_train_state(m, jax.random.key(0)))
+    state_s = create_train_state(m, jax.random.key(0))
+    triples, seq = _toy_batch(16)
+
+    def data_sharded_mu_leaves(state):
+        return {jax.tree_util.keystr(p)
+                for p, x in jax.tree_util.tree_flatten_with_path(
+                    state.opt_state.mu)[0]
+                if "data" in str(x.sharding.spec)}
+
+    sharded0 = data_sharded_mu_leaves(state_p)
+    assert sharded0, "placement left no moment data-sharded"
+
+    single = make_train_step(m, pad_id=0)
+    for i in range(3):
+        rng = jax.random.key(i)
+        state_p, mp = step(state_p, place_batch(triples), place_batch(seq),
+                           rng, 1e-2, 1.0)
+        state_s, ms = single(state_s, jnp.asarray(triples), jnp.asarray(seq),
+                             rng, 1e-2, 1.0)
+        np.testing.assert_allclose(float(mp["loss"]), float(ms["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_p.params),
+                      jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-5)
+    # params must come back replicated (vocab-sharded head excepted) —
+    # a data-sharded param would re-gather at every use next step
+    for p, x in jax.tree_util.tree_flatten_with_path(state_p.params)[0]:
+        assert "data" not in str(x.sharding.spec), \
+            f"param {jax.tree_util.keystr(p)} leaked a 'data' sharding"
+    assert data_sharded_mu_leaves(state_p) == sharded0
+    # moments for mirrored params stay numerically identical too
+    for ma, mb in zip(jax.tree.leaves(state_p.opt_state.mu),
+                      jax.tree.leaves(state_s.opt_state.mu)):
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_zero1_epoch_scan_matches_single_device(small_datasets, monkeypatch):
+    """The whole-epoch scan with ZeRO-1 moments matches the single-device
+    trajectory and keeps the carry sharded across epochs."""
+    import jax.numpy as jnp
+    import ark_tpu.parallel.mesh as mesh_mod
+    from ark_tpu.parallel import place_state, replicate
+    from ark_tpu.train import create_train_state, make_epoch_fns
+    from ark_tpu.train.loop import DataBundle, derive_config
+
+    monkeypatch.setattr(mesh_mod, "_ZERO1_MIN_ELEMS", 64)
+    cfg = dict(model_type="ARK", d_model=16, d_latent=8, n_heads=2,
+               n_layers=2, batch_size=16, dataset="syn-paths",
+               shuffle_train=True, permute_triples=True, dec_dropout=0.1,
+               vocab_pad_multiple=8, shard_opt_state=True)
+    bundle = DataBundle(cfg)
+    cfg = derive_config(cfg, bundle)
+    mesh = make_mesh({"data": 8})
+
+    def run(mesh_arg):
+        model = build_model(cfg, mesh=mesh_arg)
+        state = create_train_state(model, jax.random.key(0))
+        train_ep, _ = make_epoch_fns(model, bundle.layout, cfg,
+                                     mesh=mesh_arg)
+        triples, seq = bundle.device_train()
+        if mesh_arg is not None:
+            state = place_state(state, mesh_arg, shard_opt=True)
+            triples, seq = replicate((triples, seq), mesh_arg)
+        losses = []
+        for e in range(2):
+            state, tm = train_ep(state, triples, seq, jax.random.key(e + 1),
+                                 jnp.float32(1e-3), jnp.float32(1.0))
+            losses.append(float(tm["loss"]))
+        return losses, state
+
+    losses_m, state_m = run(mesh)
+    losses_s, state_s = run(None)
+    np.testing.assert_allclose(losses_m, losses_s, rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(state_m.params),
+                      jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-5)
+    assert any("data" in str(x.sharding.spec)
+               for x in jax.tree.leaves(state_m.opt_state.mu)), \
+        "epoch carry dropped the ZeRO-1 sharding"
+
+
 def test_fused_ce_kernel_under_mesh():
     """The fused logits+CE Pallas kernel engages inside the sharded step via
     shard_map (interpret mode on CPU) and matches the XLA path exactly."""
