@@ -79,8 +79,15 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
               file=sys.stderr)
 
     if kind == "decoder_only" and greedy:
-        # greedy LM decode (no SamplerBank path for sample=False LMs)
-        sampler = make_sampler(model, layout, sample=False)
+        # greedy LM decode (no SamplerBank path for sample=False LMs);
+        # ride the serving mesh when the batch divides its 'data' axis —
+        # otherwise a mesh-less sampler still computes correctly over the
+        # (possibly sharded) params via GSPMD, just without batch sharding
+        nd = (1 if device_mesh is None
+              else dict(device_mesh.shape).get("data", 1))
+        smp_mesh = device_mesh if batch % nd == 0 else None
+        sampler = make_sampler(model, layout, sample=False, mesh=smp_mesh,
+                               shard_vocab=shard_vocab and smp_mesh is not None)
         seqs, got = [], 0
         while got < num_samples:
             rng, k = jax.random.split(rng)

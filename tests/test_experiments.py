@@ -214,3 +214,36 @@ def test_generate_cli_sharded_serving(wd_movies_sail_ckpt):
     graphs_sv = generate_graphs(str(ckpt), num_samples=4, batch=4, seed=3,
                                 mesh="off", shard_vocab=True)
     assert len(graphs_sv) == 4
+
+
+def test_generate_cli_greedy_lm_sharded(small_datasets, tmp_path):
+    """The greedy LM serving path rides the serving mesh (round-4
+    continuation): greedy decode over the 8-device mesh must produce the
+    SAME graphs as mesh=off — argmax decode is deterministic, and GSPMD
+    partitions the computation without changing it."""
+    import jax
+    from ark_tpu.experiments.generate import generate_graphs
+    from ark_tpu.models import build_model
+    from ark_tpu.train.loop import DataBundle, derive_config
+    from ark_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = dict(model_type="ARK", d_model=16, d_latent=8, n_heads=2,
+               n_layers=1, batch_size=8, dataset="syn-paths",
+               use_padding=False, dec_dropout=0.0)
+    bundle = DataBundle(cfg)
+    cfg = derive_config(cfg, bundle)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    path = str(tmp_path / "syn-paths_ARK_best_model.pt")
+    save_checkpoint(path, epoch=0, params=params, opt_state={},
+                    scheduler_state={}, val_loss=1.0, config=cfg,
+                    vocabs={"e2i": bundle.e2i, "i2e": bundle.i2e,
+                            "r2i": bundle.r2i, "i2r": bundle.i2r},
+                    dataset_meta={"dataset": "syn-paths"})
+
+    mesh_graphs = generate_graphs(path, num_samples=8, batch=8, greedy=True,
+                                  seed=5)
+    off_graphs = generate_graphs(path, num_samples=8, batch=8, greedy=True,
+                                 seed=5, mesh="off")
+    assert mesh_graphs == off_graphs
+    assert len(mesh_graphs) == 8
