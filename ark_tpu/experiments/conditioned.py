@@ -131,14 +131,15 @@ def conditional_generate(model, kind, cfg, layout, params,
     return sampler(params, ks, z)
 
 
-def to_labeled_triples(seqs, cfg, vocabs):
-    """Reference conditioned.py:174-183."""
+def to_labeled_triples(seqs, cfg, vocabs, verbose=True):
+    """Reference conditioned.py:174-183. ``verbose=False`` silences the
+    skipped-triple stdout warning (the serve daemon speaks JSONL on stdout)."""
     graphs = seqs_to_triples_batch(seqs, cfg["special_tokens"],
                                    cfg["ENT_BASE"], cfg["REL_BASE"])
     i2e, i2r = vocabs.get("i2e"), vocabs.get("i2r")
     if i2e is None or i2r is None:
         raise KeyError("Checkpoint vocabs require 'i2e' and 'i2r' for decoding.")
-    return ints_to_labels(graphs, i2e, i2r)
+    return ints_to_labels(graphs, i2e, i2r, verbose=verbose)
 
 
 def discover_checkpoints(explicit, checkpoint_dir):

@@ -36,6 +36,37 @@ from ark_tpu.experiments.conditioned import (
 from ark_tpu.sample import make_sampler
 
 
+def make_serving_mesh(mesh: str, shard_vocab: bool, params):
+    """Build the serving mesh (shared by the generate and serve CLIs) and
+    place ``params`` on it: 'auto' shards the request batch over all local
+    devices ('data' axis); ``shard_vocab`` additionally splits the
+    embedding/logit head 2-way over a 'model' axis (big-vocab layout —
+    the fused sampler streams per-shard head slices with cross-shard
+    merges, ops/pallas/sample_step.py). Returns the possibly-degraded
+    ``(device_mesh, shard_vocab, params)``: single device (or mesh='off')
+    serves mesh-less and must drop shard_vocab too (SamplerBank fails fast
+    on shard_vocab without a mesh); odd device counts drop shard_vocab."""
+    device_mesh = None
+    n_dev = jax.device_count()
+    if mesh == "off" or n_dev <= 1:
+        shard_vocab = False
+    if mesh != "off" and n_dev > 1:
+        from ark_tpu.parallel import make_mesh, param_shardings
+
+        if shard_vocab and n_dev % 2 == 0:
+            axes = {"data": n_dev // 2, "model": 2}
+        else:
+            shard_vocab = False
+            axes = {"data": n_dev}
+        device_mesh = make_mesh(axes)
+        params = jax.device_put(
+            params, param_shardings(params, device_mesh, shard_vocab))
+        print(f"Serving mesh: {axes} over {n_dev} devices"
+              + (" (vocab-sharded head)" if shard_vocab else ""),
+              file=sys.stderr)
+    return device_mesh, shard_vocab, params
+
+
 def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
                     temperature: float = 1.0, top_p: float = 0.9,
                     top_k: int = 0, greedy: bool = False, seed: int = 0,
@@ -56,27 +87,8 @@ def generate_graphs(ckpt_path: str, num_samples: int = 100, batch: int = 256,
     layout = _layout_from_config(cfg)
     batch = max(1, min(batch, num_samples))
     rng = jax.random.key(seed)
-
-    device_mesh = None
-    n_dev = jax.device_count()
-    if mesh == "off" or n_dev <= 1:
-        # single-device serving must drop --shard-vocab too (SamplerBank
-        # fails fast on shard_vocab without a mesh)
-        shard_vocab = False
-    if mesh != "off" and n_dev > 1:
-        from ark_tpu.parallel import make_mesh, param_shardings
-
-        if shard_vocab and n_dev % 2 == 0:
-            axes = {"data": n_dev // 2, "model": 2}
-        else:
-            shard_vocab = False
-            axes = {"data": n_dev}
-        device_mesh = make_mesh(axes)
-        params = jax.device_put(
-            params, param_shardings(params, device_mesh, shard_vocab))
-        print(f"Serving mesh: {axes} over {n_dev} devices"
-              + (" (vocab-sharded head)" if shard_vocab else ""),
-              file=sys.stderr)
+    device_mesh, shard_vocab, params = make_serving_mesh(mesh, shard_vocab,
+                                                         params)
 
     if kind == "decoder_only" and greedy:
         # greedy LM decode (no SamplerBank path for sample=False LMs);

@@ -1,0 +1,320 @@
+"""Long-running graph-serving daemon — JSONL requests in, JSONL graphs out.
+
+New tooling beyond the reference surface (the reference can only sample
+inside its training scripts, train.py:513-532): a persistent process that
+keeps the compiled samplers warm and answers generation requests without
+re-paying checkpoint load or compilation, implementing the serving story
+documented in docs/MIGRATION.md "Serving":
+
+    python -m ark_tpu.experiments.serve --checkpoint <path>.pt \
+        [--batch B] [--temperature T] [--top-p P] [--top-k K] [--greedy]
+        [--mesh auto|off] [--shard-vocab] [--pipeline-depth D]
+        [--format labels|ints|none] [--verify] [--warmup N[,N...]]
+        [--input FILE] [--output FILE]
+
+Protocol: one JSON object per input line; one JSON response line per
+request, in request order.
+
+  {"id": 7, "n": 500, "seed": 42}
+      -> {"id": 7, "n": 500, "ms": 41.3, "graphs": [[[h, r, t], ...], ...]}
+  {"cmd": "ping"} / {"cmd": "stats"} / {"cmd": "shutdown"}
+      -> {"ok": true, ...}
+
+Determinism: a request with an explicit ``seed`` returns exactly the
+graphs ``generate --seed <seed> --num-samples <n>`` would (same
+SamplerBank rng stream); requests without a seed draw from the daemon's
+own stream (``--seed`` at startup). Request sizes are bucketed to powers
+of two of the chunk size, so cycling sizes compiles at most
+log2(max_chunks) sampler variants (train/loop.SamplerBank).
+
+Pipelining: up to ``--pipeline-depth`` requests are dispatched to the
+device before the oldest is fetched — the per-request host fetch (~100+ ms
+through a remote-TPU tunnel) overlaps device compute, exactly the bench.py
+pipelined-serving mode. Tokens are unaffected (dispatch order == request
+order; each request's rng is independent). Diagnostics go to stderr; stdout
+carries only protocol lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import select
+import sys
+import time
+from collections import deque
+
+import jax
+import numpy as np
+
+from ark_tpu.experiments.conditioned import (
+    _layout_from_config,
+    build_from_checkpoint,
+    load_run_checkpoint,
+    to_labeled_triples,
+)
+from ark_tpu.experiments.generate import make_serving_mesh
+from ark_tpu.data.tokenizer import seqs_to_triples_batch
+
+
+class ServeSession:
+    """Checkpoint + compiled samplers + request accounting for one daemon."""
+
+    def __init__(self, ckpt_path: str, batch: int = 256,
+                 temperature: float = 1.0, top_p: float = 0.9,
+                 top_k: int = 0, greedy: bool = False, seed: int = 0,
+                 model_type: str | None = None,
+                 sample_strategy: str = "auto", mesh: str = "auto",
+                 shard_vocab: bool = False, fmt: str = "labels",
+                 verify: bool = False, max_n: int = 65536):
+        if fmt not in ("labels", "ints", "none"):
+            raise ValueError(f"format must be labels|ints|none, got {fmt!r}")
+        config, state, vocabs = load_run_checkpoint(ckpt_path)
+        model, params, cfg, kind = build_from_checkpoint(config, state,
+                                                         model_type)
+        self.layout = _layout_from_config(cfg)
+        self.cfg, self.vocabs, self.kind = cfg, vocabs, kind
+        self.fmt, self.max_n, self.batch = fmt, int(max_n), int(batch)
+        self.greedy = bool(greedy and kind == "decoder_only")
+        mesh_obj, shard_vocab, params = make_serving_mesh(mesh, shard_vocab,
+                                                          params)
+        self.params = params
+        self._rng = jax.random.key(int(seed))
+        self._served = 0
+        self._graphs = 0
+        self._ms_total = 0.0
+
+        from ark_tpu.train.loop import SamplerBank
+        self.bank = SamplerBank(
+            model, self.layout,
+            dict(cfg, sample_chunk=self.batch, temperature=temperature,
+                 top_p=top_p, top_k=top_k,
+                 fused_sample_strategy=sample_strategy),
+            mesh=mesh_obj, shard_vocab=shard_vocab)
+        if self.greedy:
+            # deterministic argmax decode (generate.py's --greedy), chunked
+            # by hand; ride the mesh only when the batch divides 'data'
+            from ark_tpu.sample import make_sampler
+            nd = (1 if mesh_obj is None
+                  else dict(mesh_obj.shape).get("data", 1))
+            smp_mesh = mesh_obj if self.batch % nd == 0 else None
+            self._greedy_sampler = make_sampler(
+                model, self.layout, sample=False, mesh=smp_mesh,
+                shard_vocab=shard_vocab and smp_mesh is not None)
+
+        self.verifier = None
+        if verify:
+            from ark_tpu.eval.verifiers import get_verifier
+            name = cfg.get("dataset")
+            if not name:
+                raise ValueError("--verify needs a dataset name in the "
+                                 "checkpoint config")
+            self.verifier = get_verifier(name)
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def dispatch(self, req: dict) -> dict:
+        """Queue one request on the device (async; returns immediately)."""
+        if not isinstance(req, dict):
+            raise ValueError("request must be a JSON object")
+        n = int(req.get("n", 0))
+        if n <= 0:
+            raise ValueError("'n' must be a positive integer")
+        if n > self.max_n:
+            raise ValueError(f"'n'={n} exceeds --max-n {self.max_n}")
+        seed = req.get("seed")
+        if seed is not None:
+            key = jax.random.key(int(seed))
+        else:
+            self._rng, key = jax.random.split(self._rng)
+        t0 = time.monotonic()
+        if self.greedy:
+            dev, got = [], 0
+            while got < n:
+                key, k = jax.random.split(key)
+                dev.append(self._greedy_sampler(self.params, k, self.batch))
+                got += self.batch
+        elif self.kind == "decoder_only":
+            dev = self.bank.sample_sequences_device(self.params, key, n)
+        else:
+            dev = self.bank.sample_latent_sequences_device(self.params, key, n)
+        return {"req": req, "n": n, "dev": dev, "t0": t0}
+
+    def finish(self, rec: dict) -> dict:
+        """Fetch the device result, decode, and build the response."""
+        n = rec["n"]
+        if isinstance(rec["dev"], list):  # greedy chunks
+            seqs = np.concatenate([np.asarray(a) for a in rec["dev"]])[:n]
+        else:
+            seqs = np.asarray(rec["dev"])
+        ms = (time.monotonic() - rec["t0"]) * 1000.0
+        resp = {"id": rec["req"].get("id"), "n": n, "ms": round(ms, 2)}
+        graphs_lbl = None
+        if self.fmt == "labels" or self.verifier is not None:
+            graphs_lbl = to_labeled_triples(seqs, self.cfg, self.vocabs,
+                                            verbose=False)
+        if self.fmt == "labels":
+            resp["graphs"] = [[list(t) for t in g] for g in graphs_lbl]
+        elif self.fmt == "ints":
+            graphs = seqs_to_triples_batch(seqs, self.cfg["special_tokens"],
+                                           self.cfg["ENT_BASE"],
+                                           self.cfg["REL_BASE"])
+            resp["graphs"] = [[[int(h), int(r), int(t)] for h, r, t in g]
+                              for g in graphs]
+        if self.verifier is not None:
+            nv = sum(1 for g in graphs_lbl
+                     if self.verifier.check_rules_for_graph(g))
+            resp["n_valid"] = nv
+            resp["valid_rate"] = nv / max(1, len(graphs_lbl))
+        self._served += 1
+        self._graphs += n
+        self._ms_total += ms
+        return resp
+
+    def stats(self) -> dict:
+        return {"ok": True, "requests": self._served, "graphs": self._graphs,
+                "avg_ms": round(self._ms_total / max(1, self._served), 2)}
+
+    def warmup(self, sizes) -> None:
+        """Pre-compile the sampler buckets for the given request sizes."""
+        for n in sizes:
+            t0 = time.monotonic()
+            self.finish(self.dispatch({"n": int(n), "seed": 0}))
+            print(f"[serve] warmed n={n} in "
+                  f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
+        # warmup must not perturb request accounting or the rng stream
+        self._served = 0
+        self._graphs = 0
+        self._ms_total = 0.0
+
+
+def _readable(f) -> bool:
+    """True if a read would not block. Non-selectable inputs (StringIO,
+    regular files on some platforms) are treated as always readable."""
+    try:
+        r, _, _ = select.select([f], [], [], 0)
+        return bool(r)
+    except (ValueError, OSError, io.UnsupportedOperation):
+        return True
+
+
+def serve_loop(inp, out, session: ServeSession, depth: int = 2) -> None:
+    """Read JSONL requests from ``inp``, write JSONL responses to ``out``.
+
+    Responses are emitted in request order. Up to ``depth`` requests ride
+    the device concurrently; when the input has no data ready, pending
+    work is flushed so an interactive client always gets its response.
+    Control commands and errors drain pending work first (strict output
+    ordering)."""
+    depth = max(1, int(depth))
+    pending = deque()
+
+    def emit(obj):
+        out.write(json.dumps(obj) + "\n")
+        out.flush()
+
+    def flush_one():
+        emit(session.finish(pending.popleft()))
+
+    eof = False
+    while not eof or pending:
+        if pending and (eof or len(pending) >= depth or not _readable(inp)):
+            flush_one()
+            continue
+        line = inp.readline()
+        if not line:
+            eof = True
+            continue
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            while pending:
+                flush_one()
+            emit({"ok": False, "error": f"bad json: {e}"})
+            continue
+        cmd = req.get("cmd") if isinstance(req, dict) else None
+        if cmd is not None:
+            while pending:
+                flush_one()
+            if cmd == "ping":
+                emit({"ok": True})
+            elif cmd == "stats":
+                emit(session.stats())
+            elif cmd == "shutdown":
+                emit({"ok": True, "shutdown": True})
+                return
+            else:
+                emit({"ok": False, "error": f"unknown cmd {cmd!r}"})
+            continue
+        try:
+            pending.append(session.dispatch(req))
+        except Exception as e:  # bad request must not kill the daemon
+            while pending:
+                flush_one()
+            rid = req.get("id") if isinstance(req, dict) else None
+            emit({"ok": False, "id": rid, "error": str(e)})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ARK-TPU serving daemon (JSONL protocol)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--batch", type=int, default=256,
+                   help="device chunk size (requests are split into chunks "
+                        "of this size; one compiled scan per pow2 bucket)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-p", type=float, default=0.9)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--greedy", action="store_true",
+                   help="deterministic argmax decode (LM checkpoints)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="daemon rng stream for requests without a seed")
+    p.add_argument("--model-type", default=None)
+    p.add_argument("--mesh", default="auto", choices=["auto", "off"])
+    p.add_argument("--shard-vocab", action="store_true")
+    p.add_argument("--sample-strategy", default="auto",
+                   choices=["auto", "gumbel", "expmin", "cdf"])
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="requests in flight on the device (1 = serial)")
+    p.add_argument("--format", default="labels",
+                   choices=["labels", "ints", "none"],
+                   help="'none' omits graphs (latency/validity probing)")
+    p.add_argument("--verify", action="store_true",
+                   help="attach n_valid/valid_rate (semantic rules) to "
+                        "each response")
+    p.add_argument("--max-n", type=int, default=65536,
+                   help="reject requests larger than this")
+    p.add_argument("--warmup", default="",
+                   help="comma-separated request sizes to pre-compile")
+    p.add_argument("--input", default=None, help="file (default: stdin)")
+    p.add_argument("--output", default=None, help="file (default: stdout)")
+    args = p.parse_args(argv)
+
+    session = ServeSession(
+        args.checkpoint, batch=args.batch, temperature=args.temperature,
+        top_p=args.top_p, top_k=args.top_k, greedy=args.greedy,
+        seed=args.seed, model_type=args.model_type,
+        sample_strategy=args.sample_strategy, mesh=args.mesh,
+        shard_vocab=args.shard_vocab, fmt=args.format, verify=args.verify,
+        max_n=args.max_n)
+    if args.warmup:
+        session.warmup(int(s) for s in args.warmup.split(",") if s.strip())
+    print("[serve] ready", file=sys.stderr)
+
+    inp = open(args.input) if args.input else sys.stdin
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        serve_loop(inp, out, session, depth=args.pipeline_depth)
+    finally:
+        if args.input:
+            inp.close()
+        if args.output:
+            out.close()
+    return session
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,14 @@ class SamplerBank:
         """SAIL family: z ~ N(0, I) -> greedy decode (beam=1, the reference's
         training-time evaluation path, ablation_study.py:682-720). Same
         one-dispatch chunk scan as sample_sequences."""
+        return np.asarray(
+            self.sample_latent_sequences_device(params, rng, target_n))
+
+    def sample_latent_sequences_device(self, params, rng, target_n):
+        """``sample_latent_sequences`` without the host fetch (the VAE twin
+        of ``sample_sequences_device``): returns the device array so a
+        serving loop can pipeline dispatch against the per-request tunnel
+        fetch. Same rng splits — tokens are bitwise the fetched variant's."""
         if self._latent_sampler is None:
             self._latent_sampler = make_sampler(self.model, self.layout,
                                                 sample=False, mesh=self.mesh)
@@ -280,10 +288,10 @@ class SamplerBank:
         if n_chunks == 1:
             rng, kz, ks = jax.random.split(rng, 3)
             z = jax.random.normal(kz, (self.chunk, self.config["d_latent"]))
-            return np.asarray(self._latent_sampler(params, ks, z))[:target_n]
+            return self._latent_sampler(params, ks, z)[:target_n]
         max_chunks = 1 << (n_chunks - 1).bit_length()  # pow2 bucket
-        return np.asarray(self._latent_multi(params, rng, jnp.int32(n_chunks),
-                                             max_chunks))[:target_n]
+        return self._latent_multi(params, rng, jnp.int32(n_chunks),
+                                  max_chunks)[:target_n]
 
 
 def sample_and_evaluate(model, params, bundle, config, rng, target_n,

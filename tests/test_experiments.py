@@ -247,3 +247,147 @@ def test_generate_cli_greedy_lm_sharded(small_datasets, tmp_path):
                                  seed=5, mesh="off")
     assert mesh_graphs == off_graphs
     assert len(mesh_graphs) == 8
+
+
+# ---------------------------------------------------------------------------
+# Serving daemon (ark_tpu.experiments.serve)
+# ---------------------------------------------------------------------------
+
+def _serve_session(ckpt, **kw):
+    from ark_tpu.experiments.serve import ServeSession
+    return ServeSession(str(ckpt), **kw)
+
+
+def _run_serve(session, lines, depth=2):
+    import io as _io
+    import json as _json
+    from ark_tpu.experiments.serve import serve_loop
+
+    inp = _io.StringIO("".join(l + "\n" for l in lines))
+    out = _io.StringIO()
+    serve_loop(inp, out, session, depth=depth)
+    return [_json.loads(l) for l in out.getvalue().splitlines()]
+
+
+def test_serve_daemon_matches_generate(wd_movies_sail_ckpt):
+    """A request with an explicit seed returns exactly the graphs the
+    generate CLI returns for --seed/--num-samples (same SamplerBank rng
+    stream), and the daemon survives bad lines between good ones."""
+    import json as _json
+    import os
+    from ark_tpu.experiments.generate import generate_graphs
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    want = generate_graphs(ckpt, num_samples=7, batch=4, seed=3)
+
+    session = _serve_session(ckpt, batch=4)
+    resps = _run_serve(session, [
+        '{"cmd": "ping"}',
+        'not json at all',
+        '{"id": "a", "n": 7, "seed": 3}',
+        '{"id": "b", "n": 0}',
+        '{"cmd": "stats"}',
+        '{"cmd": "shutdown"}',
+        '{"id": "never", "n": 1}',
+    ])
+    assert resps[0] == {"ok": True}
+    assert resps[1]["ok"] is False and "bad json" in resps[1]["error"]
+    got = [[tuple(t) for t in g] for g in resps[2]["graphs"]]
+    assert got == [[tuple(t) for t in g] for g in want]
+    assert resps[2]["id"] == "a" and resps[2]["n"] == 7
+    assert resps[3] == {"ok": False, "id": "b",
+                        "error": "'n' must be a positive integer"}
+    assert resps[4]["requests"] == 1 and resps[4]["graphs"] == 7
+    assert resps[5]["shutdown"] is True
+    assert len(resps) == 6  # nothing served after shutdown
+
+
+def test_serve_pipelining_and_formats(wd_movies_sail_ckpt):
+    """Pipeline depth changes scheduling, not results; formats and
+    --verify behave as documented."""
+    import os
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    lines = ['{"id": %d, "n": 5, "seed": %d}' % (i, i) for i in range(4)]
+
+    def strip(resps):
+        return [{k: v for k, v in r.items() if k != "ms"} for r in resps]
+
+    serial = strip(_run_serve(_serve_session(ckpt, batch=4), lines, depth=1))
+    piped = strip(_run_serve(_serve_session(ckpt, batch=4), lines, depth=3))
+    assert serial == piped
+    assert [r["id"] for r in piped] == [0, 1, 2, 3]
+
+    # ints format + verify: int triples, validity fraction attached
+    resps = _run_serve(
+        _serve_session(ckpt, batch=4, fmt="ints", verify=True),
+        ['{"n": 6, "seed": 1}'])
+    (r,) = resps
+    assert len(r["graphs"]) == 6
+    for g in r["graphs"]:
+        for h, rel, t in g:
+            assert isinstance(h, int) and isinstance(rel, int)
+    assert 0.0 <= r["valid_rate"] <= 1.0 and r["n_valid"] <= 6
+
+    # format 'none' omits graphs entirely (latency probing)
+    (r,) = _run_serve(_serve_session(ckpt, batch=4, fmt="none"),
+                      ['{"n": 3, "seed": 1}'])
+    assert "graphs" not in r and r["n"] == 3
+
+    # seedless requests ride the daemon stream: same --seed, same draws
+    # (this near-untrained SAIL decodes every z to an empty graph, so
+    # distinctness is asserted on the stream advancing, not on outputs)
+    import jax
+
+    sess_a = _serve_session(ckpt, batch=4, seed=9)
+    key0 = np.array(jax.random.key_data(sess_a._rng))
+    a = strip(_run_serve(sess_a, ['{"n": 4}', '{"n": 4}']))
+    b = strip(_run_serve(_serve_session(ckpt, batch=4, seed=9),
+                         ['{"n": 4}', '{"n": 4}']))
+    assert a == b
+    assert not np.array_equal(np.array(jax.random.key_data(sess_a._rng)),
+                              key0)
+
+
+def test_serve_greedy_lm_cli(small_datasets, tmp_path, capsys):
+    """Greedy LM serving through the full CLI (main): deterministic argmax
+    decode, warmup accounting reset, stdout carries only protocol lines."""
+    import json as _json
+    import jax
+    from ark_tpu.experiments.serve import main
+    from ark_tpu.models import build_model
+    from ark_tpu.train.loop import DataBundle, derive_config
+    from ark_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = dict(model_type="ARK", d_model=16, d_latent=8, n_heads=2,
+               n_layers=1, batch_size=8, dataset="syn-paths",
+               use_padding=False, dec_dropout=0.0)
+    bundle = DataBundle(cfg)
+    cfg = derive_config(cfg, bundle)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "syn-paths_ARK_best_model.pt")
+    save_checkpoint(ckpt, epoch=0, params=params, opt_state={},
+                    scheduler_state={}, val_loss=1.0, config=cfg,
+                    vocabs={"e2i": bundle.e2i, "i2e": bundle.i2e,
+                            "r2i": bundle.r2i, "i2r": bundle.i2r},
+                    dataset_meta={"dataset": "syn-paths"})
+
+    req_file = tmp_path / "reqs.jsonl"
+    req_file.write_text('{"id": 1, "n": 6, "seed": 5}\n'
+                        '{"id": 2, "n": 6, "seed": 5}\n'
+                        '{"cmd": "stats"}\n')
+    out_file = tmp_path / "resp.jsonl"
+    main(["--checkpoint", ckpt, "--greedy", "--batch", "8",
+          "--warmup", "6", "--input", str(req_file),
+          "--output", str(out_file)])
+    resps = [_json.loads(l) for l in out_file.read_text().splitlines()]
+    assert len(resps) == 3
+    # greedy is deterministic: identical seeds, identical graphs
+    assert resps[0]["graphs"] == resps[1]["graphs"]
+    # warmup reset the counters: exactly the two real requests counted
+    assert resps[2]["requests"] == 2 and resps[2]["graphs"] == 12
+    err = capsys.readouterr().err
+    assert "[serve] ready" in err and "warmed n=6" in err
