@@ -167,6 +167,9 @@ def main(argv=None):
     parser.add_argument("--model-type", type=str, default=None,
                         choices=["SAIL", "t-SAIL", "ARK", "t-ARK"])
     args = parser.parse_args(argv)
+    # one TPU job at a time (no-op on the cpu platform)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="conditioned")
 
     import yaml
 

@@ -147,6 +147,9 @@ def main(argv=None):
                         help="shard evaluation over all local devices "
                              "(auto, when >1 attached and batch divides)")
     args = parser.parse_args(argv)
+    # one TPU job at a time (no-op on the cpu platform)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="evaluate")
     out = evaluate_checkpoint(args.checkpoint, split=args.split,
                               num_samples=args.num_samples, seed=args.seed,
                               mesh=args.mesh)

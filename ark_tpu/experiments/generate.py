@@ -172,6 +172,9 @@ def main(argv=None):
                    default="pretty")
     p.add_argument("--output", default=None, help="file (default: stdout)")
     args = p.parse_args(argv)
+    # one TPU job at a time (no-op on the cpu platform)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="generate")
 
     graphs = generate_graphs(
         args.checkpoint, num_samples=args.num_samples, batch=args.batch,

@@ -446,6 +446,9 @@ def main(argv=None):
     parser.add_argument("--epsilon", type=float, default=0.1)
     parser.add_argument("--epoch", type=int, default=None)
     args = parser.parse_args(argv)
+    # one TPU job at a time (no-op on the cpu platform)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="interpolation")
 
     import yaml
 

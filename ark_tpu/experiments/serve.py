@@ -292,6 +292,10 @@ def main(argv=None):
     p.add_argument("--input", default=None, help="file (default: stdin)")
     p.add_argument("--output", default=None, help="file (default: stdout)")
     args = p.parse_args(argv)
+    # one TPU job at a time (no-op on the cpu platform): a serving daemon
+    # holds the device lock for its whole lifetime
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="serve")
 
     session = ServeSession(
         args.checkpoint, batch=args.batch, temperature=args.temperature,

@@ -404,6 +404,22 @@ def measure_torch_baseline(cfg, bundle):
 
 
 def main():
+    # one TPU job at a time: serialize against queued measurement scripts /
+    # interactive runs via the advisory flock (self-releasing on exit).
+    # Bounded wait — a bench invocation must report, not stall a pipeline
+    # behind a multi-hour training run (override: ARK_TPU_DEVICE_LOCK_TIMEOUT)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    try:
+        acquire_device_lock(
+            timeout=float(os.environ.get("ARK_TPU_DEVICE_LOCK_TIMEOUT",
+                                         3600)), tag="bench")
+    except TimeoutError as e:
+        print(json.dumps({
+            "metric": "wd_articles_train_graphs_per_sec_chip", "value": 0,
+            "unit": "graphs/sec/chip", "vs_baseline": 0,
+            "error": f"TPU busy: {e} — no measurement taken",
+        }), flush=True)
+        return 1
     if not probe_backend():
         # one parseable line either way (the driver records stdout)
         print(json.dumps({

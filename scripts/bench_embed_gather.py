@@ -69,6 +69,9 @@ def main():
         from jax.experimental.pallas import tpu as pltpu
         ctx = pltpu.force_tpu_interpret_mode()
         ctx.__enter__()
+    # one TPU job at a time (no-op once the cpu platform is pinned above)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="bench_embed_gather")
 
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}))
