@@ -71,6 +71,12 @@ class ServeSession:
         if fmt not in ("labels", "ints", "none"):
             raise ValueError(f"format must be labels|ints|none, got {fmt!r}")
         config, state, vocabs = load_run_checkpoint(ckpt_path)
+        if (fmt == "labels" or verify) and (
+                not isinstance(vocabs, dict) or vocabs.get("i2e") is None
+                or vocabs.get("i2r") is None):
+            raise ValueError("checkpoint vocabs lack 'i2e'/'i2r'; label "
+                             "decoding (--format labels / --verify) needs "
+                             "them — use --format ints or none")
         model, params, cfg, kind = build_from_checkpoint(config, state,
                                                          model_type)
         self.layout = _layout_from_config(cfg)
@@ -142,8 +148,14 @@ class ServeSession:
         return {"req": req, "n": n, "dev": dev, "t0": t0}
 
     def finish(self, rec: dict) -> dict:
-        """Fetch the device result, decode, and build the response."""
+        """Fetch the device result, decode, and build the response.
+
+        ``ms`` is dispatch→response wall time: with --pipeline-depth > 1 it
+        includes host-side queueing while newer requests were read, so use
+        depth 1 for per-request latency probing. ``host_ms`` (fetch+decode
+        only) is pipeline-invariant."""
         n = rec["n"]
+        t_host = time.monotonic()
         if isinstance(rec["dev"], list):  # greedy chunks
             seqs = np.concatenate([np.asarray(a) for a in rec["dev"]])[:n]
         else:
@@ -167,6 +179,7 @@ class ServeSession:
                      if self.verifier.check_rules_for_graph(g))
             resp["n_valid"] = nv
             resp["valid_rate"] = nv / max(1, len(graphs_lbl))
+        resp["host_ms"] = round((time.monotonic() - t_host) * 1000.0, 2)
         self._served += 1
         self._graphs += n
         self._ms_total += ms
@@ -215,7 +228,13 @@ def serve_loop(inp, out, session: ServeSession, depth: int = 2) -> None:
         out.flush()
 
     def flush_one():
-        emit(session.finish(pending.popleft()))
+        rec = pending.popleft()
+        try:
+            emit(session.finish(rec))
+        except Exception as e:  # a failed fetch/decode must not kill the
+            # daemon either — the client still gets its response line
+            emit({"ok": False, "id": rec["req"].get("id"),
+                  "error": f"finish failed: {e}"})
 
     eof = False
     while not eof or pending:

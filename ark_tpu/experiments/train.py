@@ -50,13 +50,15 @@ def _enable_compilation_cache():
 
 def main(argv=None):
     _enable_compilation_cache()
-    # one TPU job at a time (no-op on the cpu platform: tests/dryruns):
-    # queued measurement runs, interactive jobs, and the driver's bench
-    # serialize on an advisory flock instead of colliding on the tunnel
-    from ark_tpu.utils.device_lock import acquire_device_lock
-    acquire_device_lock(tag="train")
     args = build_parser().parse_args(argv)
     config = load_config(args.config)
+    # one TPU job at a time (no-op on the cpu platform: tests/dryruns):
+    # queued measurement runs, interactive jobs, and the driver's bench
+    # serialize on an advisory flock instead of colliding on the tunnel.
+    # After argparse/config so --help and a bad --config fail fast instead
+    # of blocking behind a multi-hour lock holder.
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="train")
     entity = args.wandb_entity or os.getenv("WANDB_ENTITY")
     run = Run(project=args.wandb_project,
               name=config.get("experiment_name", "ARK_experiment"),

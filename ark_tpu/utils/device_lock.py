@@ -57,6 +57,10 @@ def acquire_device_lock(timeout: float | None = None, poll: float = 1.0,
     disabled via env or not applicable (CPU priority platform). Raises
     TimeoutError when a timeout (argument or env) expires first.
     """
+    if _HELD:
+        # re-entrant: this process already holds the lock (a second flock
+        # on a fresh file description would deadlock against ourselves)
+        return True
     if os.environ.get("ARK_TPU_DEVICE_LOCK", "1") == "0":
         return False
     if not tpu_is_priority_platform():

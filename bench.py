@@ -411,8 +411,8 @@ def main():
     from ark_tpu.utils.device_lock import acquire_device_lock
     try:
         acquire_device_lock(
-            timeout=float(os.environ.get("ARK_TPU_DEVICE_LOCK_TIMEOUT",
-                                         3600)), tag="bench")
+            timeout=float(os.environ.get("ARK_TPU_DEVICE_LOCK_TIMEOUT")
+                          or 3600), tag="bench")
     except TimeoutError as e:
         print(json.dumps({
             "metric": "wd_articles_train_graphs_per_sec_chip", "value": 0,

@@ -94,6 +94,10 @@ def main(argv=None):
     ap.add_argument("--one-size", type=int, default=0,
                     help="(internal) measure a single mesh size in-process")
     args = ap.parse_args(argv)
+    # one TPU job at a time when run on real hardware (no-op on the
+    # virtual-CPU-mesh path, where the children pin JAX_PLATFORMS=cpu)
+    from ark_tpu.utils.device_lock import acquire_device_lock
+    acquire_device_lock(tag="weak_scaling")
 
     if args.one_size:
         import jax

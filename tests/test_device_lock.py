@@ -42,4 +42,8 @@ def test_device_lock_mechanics(tmp_path, monkeypatch):
     # free again -> acquired immediately; lockfile records the holder
     assert dl.acquire_device_lock(timeout=1, tag="next") is True
     assert "tag=next" in (tmp_path / "dev.lock").read_text()
+    # re-entrant: a second acquire in the holding process returns True
+    # immediately instead of flocking against our own held lock
+    assert dl.acquire_device_lock(timeout=0.2, tag="again") is True
+    assert len(dl._HELD) == 1
     dl._HELD.pop().close()

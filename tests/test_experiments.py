@@ -216,13 +216,11 @@ def test_generate_cli_sharded_serving(wd_movies_sail_ckpt):
     assert len(graphs_sv) == 4
 
 
-def test_generate_cli_greedy_lm_sharded(small_datasets, tmp_path):
-    """The greedy LM serving path rides the serving mesh (round-4
-    continuation): greedy decode over the 8-device mesh must produce the
-    SAME graphs as mesh=off — argmax decode is deterministic, and GSPMD
-    partitions the computation without changing it."""
+def _syn_paths_lm_ckpt(tmp_path):
+    """Build a tiny syn-paths ARK checkpoint (fresh-init params) for the
+    greedy-LM serving tests; returns its path. Needs the small_datasets
+    fixture active in the calling test."""
     import jax
-    from ark_tpu.experiments.generate import generate_graphs
     from ark_tpu.models import build_model
     from ark_tpu.train.loop import DataBundle, derive_config
     from ark_tpu.utils.checkpoint import save_checkpoint
@@ -240,7 +238,17 @@ def test_generate_cli_greedy_lm_sharded(small_datasets, tmp_path):
                     vocabs={"e2i": bundle.e2i, "i2e": bundle.i2e,
                             "r2i": bundle.r2i, "i2r": bundle.i2r},
                     dataset_meta={"dataset": "syn-paths"})
+    return path
 
+
+def test_generate_cli_greedy_lm_sharded(small_datasets, tmp_path):
+    """The greedy LM serving path rides the serving mesh (round-4
+    continuation): greedy decode over the 8-device mesh must produce the
+    SAME graphs as mesh=off — argmax decode is deterministic, and GSPMD
+    partitions the computation without changing it."""
+    from ark_tpu.experiments.generate import generate_graphs
+
+    path = _syn_paths_lm_ckpt(tmp_path)
     mesh_graphs = generate_graphs(path, num_samples=8, batch=8, greedy=True,
                                   seed=5)
     off_graphs = generate_graphs(path, num_samples=8, batch=8, greedy=True,
@@ -313,7 +321,8 @@ def test_serve_pipelining_and_formats(wd_movies_sail_ckpt):
     lines = ['{"id": %d, "n": 5, "seed": %d}' % (i, i) for i in range(4)]
 
     def strip(resps):
-        return [{k: v for k, v in r.items() if k != "ms"} for r in resps]
+        return [{k: v for k, v in r.items() if k not in ("ms", "host_ms")}
+                for r in resps]
 
     serial = strip(_run_serve(_serve_session(ckpt, batch=4), lines, depth=1))
     piped = strip(_run_serve(_serve_session(ckpt, batch=4), lines, depth=3))
@@ -351,30 +360,66 @@ def test_serve_pipelining_and_formats(wd_movies_sail_ckpt):
                               key0)
 
 
+def test_serve_survives_finish_failure(wd_movies_sail_ckpt, monkeypatch):
+    """A fetch/decode exception inside finish() emits an error line for
+    that request and the daemon keeps serving (review hardening: finish
+    is guarded like dispatch)."""
+    import os
+    from ark_tpu.experiments.serve import ServeSession
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    session = _serve_session(ckpt, batch=4)
+
+    real_finish = ServeSession.finish
+    calls = {"n": 0}
+
+    def flaky_finish(self, rec):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("decode exploded")
+        return real_finish(self, rec)
+
+    monkeypatch.setattr(ServeSession, "finish", flaky_finish)
+    resps = _run_serve(session, ['{"id": 1, "n": 4, "seed": 0}',
+                                 '{"id": 2, "n": 4, "seed": 0}'])
+    assert resps[0]["ok"] is False and resps[0]["id"] == 1
+    assert "decode exploded" in resps[0]["error"]
+    assert resps[1]["id"] == 2 and "graphs" in resps[1]
+
+
+def test_serve_rejects_labels_without_vocabs(wd_movies_sail_ckpt, tmp_path):
+    """--format labels / --verify need i2e/i2r: fail loudly at startup,
+    not on the first request (review hardening)."""
+    import os
+    import pytest
+    from ark_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    payload = load_checkpoint(ckpt)
+    bad = str(tmp_path / "novocab.pt")
+    save_checkpoint(bad, epoch=payload["epoch"],
+                    params=payload["model_state_dict"],
+                    opt_state={}, scheduler_state={},
+                    val_loss=payload.get("val_loss", 1.0),
+                    config=payload["config"], vocabs={},
+                    dataset_meta=payload.get("dataset_meta", {}))
+    with pytest.raises(ValueError, match="i2e"):
+        _serve_session(bad)
+    # ints/none formats stay serveable without vocabs
+    (r,) = _run_serve(_serve_session(bad, fmt="none", batch=4),
+                      ['{"n": 3, "seed": 1}'])
+    assert r["n"] == 3
+
+
 def test_serve_greedy_lm_cli(small_datasets, tmp_path, capsys):
     """Greedy LM serving through the full CLI (main): deterministic argmax
     decode, warmup accounting reset, stdout carries only protocol lines."""
     import json as _json
-    import jax
     from ark_tpu.experiments.serve import main
-    from ark_tpu.models import build_model
-    from ark_tpu.train.loop import DataBundle, derive_config
-    from ark_tpu.utils.checkpoint import save_checkpoint
 
-    cfg = dict(model_type="ARK", d_model=16, d_latent=8, n_heads=2,
-               n_layers=1, batch_size=8, dataset="syn-paths",
-               use_padding=False, dec_dropout=0.0)
-    bundle = DataBundle(cfg)
-    cfg = derive_config(cfg, bundle)
-    model = build_model(cfg)
-    params = model.init(jax.random.key(0))
-    ckpt = str(tmp_path / "syn-paths_ARK_best_model.pt")
-    save_checkpoint(ckpt, epoch=0, params=params, opt_state={},
-                    scheduler_state={}, val_loss=1.0, config=cfg,
-                    vocabs={"e2i": bundle.e2i, "i2e": bundle.i2e,
-                            "r2i": bundle.r2i, "i2r": bundle.i2r},
-                    dataset_meta={"dataset": "syn-paths"})
-
+    ckpt = _syn_paths_lm_ckpt(tmp_path)
     req_file = tmp_path / "reqs.jsonl"
     req_file.write_text('{"id": 1, "n": 6, "seed": 5}\n'
                         '{"id": 2, "n": 6, "seed": 5}\n'
