@@ -22,7 +22,9 @@ from __future__ import annotations
 import functools
 import math
 import os
+import signal
 import sys
+import threading
 import warnings
 
 import jax
@@ -332,6 +334,30 @@ def sample_and_evaluate(model, params, bundle, config, rng, target_n,
 # The training run
 # ---------------------------------------------------------------------------
 
+# Preemption safety (TPU-native addition; the reference has no analogue —
+# a preempted torch run just dies, reference train.py:564-618 saves only
+# best/periodic). Cloud TPU VMs receive SIGTERM on preemption/maintenance;
+# the trainer checkpoints at the next epoch boundary (the whole epoch is
+# ONE compiled device dispatch and cannot be interrupted mid-flight) and
+# exits cleanly. Resume via resume_from_checkpoint/checkpoint_path restores
+# params, Adam moments, and the exact RNG stream. Disable with
+# ``handle_preemption: false``.
+_PREEMPT = threading.Event()
+
+
+def request_preemption() -> None:
+    """Ask a running trainer to checkpoint and stop at the next epoch
+    boundary (what the SIGTERM handler calls; callable directly by
+    embedding code/tests)."""
+    _PREEMPT.set()
+
+
+def _sigterm_to_preempt(signum, frame):
+    print("[ark_tpu] SIGTERM received — will checkpoint and exit at the "
+          "epoch boundary", file=sys.stderr, flush=True)
+    _PREEMPT.set()
+
+
 def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     """Executes the full reference training protocol; returns final metrics."""
     model_type = config.get("model_type", "ARK")
@@ -533,6 +559,24 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                             "best_validity": float(best_validity),
                         })
 
+    preempt_safe = bool(config.get("handle_preemption", True))
+    _sig_installed = False
+    _sig_prev = None
+    if preempt_safe:
+        _PREEMPT.clear()
+        try:
+            _sig_prev = signal.signal(signal.SIGTERM, _sigterm_to_preempt)
+            _sig_installed = True
+        except ValueError:
+            pass  # not the main thread: request_preemption() still works
+
+    def _restore_sigterm():
+        nonlocal _sig_installed
+        if _sig_installed:
+            signal.signal(signal.SIGTERM,
+                          _sig_prev if _sig_prev is not None else signal.SIG_DFL)
+            _sig_installed = False
+
     # tqdm progress over epochs (reference train.py:42,91 wraps its batch
     # loop; here a whole epoch is ONE device dispatch, so the epoch is the
     # natural progress unit). "auto" shows the bar only on a tty so logs
@@ -659,6 +703,19 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                 checkpoint_dir,
                 f"{bundle.name}_{model_type}_checkpoint_epoch_{epoch + 1}.pt"),
                 epoch + 1, val_loss)
+        if preempt_safe and _PREEMPT.is_set():
+            p_path = os.path.join(checkpoint_dir,
+                                  f"{bundle.name}_{model_type}_preempt.pt")
+            _ckpt(p_path, epoch + 1, val_loss)
+            print(f"Preemption: saved {p_path} at epoch {epoch + 1}/"
+                  f"{num_epochs}; resume with resume_from_checkpoint: true, "
+                  f"checkpoint_path: {p_path}")
+            if prog is not None:
+                prog.close()
+            _restore_sigterm()
+            preempt_metrics = {"preempted_at_epoch": float(epoch + 1)}
+            run.log(preempt_metrics)
+            return preempt_metrics
         if prog is not None:
             prog.set_postfix(train=f"{train_loss:.3f}", val=f"{val_loss:.3f}",
                              best=f"{best_val_loss:.3f}")
@@ -666,6 +723,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
 
     if prog is not None:
         prog.close()
+    _restore_sigterm()
     # ------------------------- final validation ----------------------------
     final_metrics = final_validation(model, state, bundle, config, run, rng,
                                      sampler_bank, eval_epoch_fn, mesh=mesh,
