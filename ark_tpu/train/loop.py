@@ -49,7 +49,8 @@ from ark_tpu.train.state import (
     lr_for_epoch,
 )
 from ark_tpu.train.steps import make_epoch_fns
-from ark_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, to_device_tree
+from ark_tpu.utils.checkpoint import (AsyncCheckpointWriter, load_checkpoint,
+                                      save_checkpoint, to_device_tree)
 from ark_tpu.utils.profiling import PhaseTimer, maybe_trace
 
 
@@ -543,21 +544,33 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     dataset_meta = {"dataset": bundle.name, "n_entities": len(bundle.i2e),
                     "n_relations": len(bundle.i2r)}
 
+    # async_checkpointing (default off): the device→host state fetch —
+    # the dominant save cost through a remote-TPU tunnel — runs on a
+    # background writer thread, overlapping the next epoch's device
+    # compute (utils/checkpoint.AsyncCheckpointWriter; same files, same
+    # bytes, drained before the trainer returns)
+    ckpt_writer = (AsyncCheckpointWriter()
+                   if config.get("async_checkpointing", False) else None)
+
     def _ckpt(path, epoch, val_loss):
         sched_state = ({"last_epoch": epoch}
                        if config.get("lr_scheduler", False) else None)
-        save_checkpoint(path, epoch=epoch, params=state.params,
-                        opt_state=state.opt_state, scheduler_state=sched_state,
-                        val_loss=val_loss, config=config, vocabs=vocabs,
-                        dataset_meta=dataset_meta,
-                        extras={
-                            # resume continuity (ADVICE r1): the post-split
-                            # rng of the NEXT epoch, best-so-far objective
-                            "rng_state": np.asarray(jax.random.key_data(rng)),
-                            "best_comp_bits": float(best_comp_bits),
-                            "best_val_loss": float(best_val_loss),
-                            "best_validity": float(best_validity),
-                        })
+        kwargs = dict(epoch=epoch, params=state.params,
+                      opt_state=state.opt_state, scheduler_state=sched_state,
+                      val_loss=val_loss, config=config, vocabs=vocabs,
+                      dataset_meta=dataset_meta,
+                      extras={
+                          # resume continuity (ADVICE r1): the post-split
+                          # rng of the NEXT epoch, best-so-far objective
+                          "rng_state": np.asarray(jax.random.key_data(rng)),
+                          "best_comp_bits": float(best_comp_bits),
+                          "best_val_loss": float(best_val_loss),
+                          "best_validity": float(best_validity),
+                      })
+        if ckpt_writer is not None:
+            ckpt_writer.submit(path, **kwargs)
+        else:
+            save_checkpoint(path, **kwargs)
 
     preempt_safe = bool(config.get("handle_preemption", True))
     _sig_installed = False
@@ -713,6 +726,8 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             if prog is not None:
                 prog.close()
             _restore_sigterm()
+            if ckpt_writer is not None:
+                ckpt_writer.close()
             preempt_metrics = {"preempted_at_epoch": float(epoch + 1)}
             run.log(preempt_metrics)
             return preempt_metrics
@@ -724,6 +739,10 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     if prog is not None:
         prog.close()
     _restore_sigterm()
+    if ckpt_writer is not None:
+        # every checkpoint on disk before final eval (post-run tooling —
+        # conditioned/evaluate/export — reads best_model.pt immediately)
+        ckpt_writer.close()
     # ------------------------- final validation ----------------------------
     final_metrics = final_validation(model, state, bundle, config, run, rng,
                                      sampler_bank, eval_epoch_fn, mesh=mesh,

@@ -15,7 +15,11 @@ path make them functional.
 
 from __future__ import annotations
 
+import os
 import pickle
+import queue
+import sys
+import threading
 
 import jax
 import numpy as np
@@ -52,8 +56,70 @@ def save_checkpoint(path: str, *, epoch: int, params, opt_state, scheduler_state
     }
     if extras:
         payload.update(extras)
-    with open(path, "wb") as f:
+    # atomic: a crash/preemption mid-write can never leave a truncated
+    # checkpoint where a good one stood
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """Background checkpoint writer (``async_checkpointing: true``).
+
+    ``save_checkpoint``'s dominant cost on a remote-TPU tunnel is the
+    device→host fetch (params + Adam moments ≈ 3× the model's bytes, at
+    tunnel latency/bandwidth); a single worker thread runs the fetch and
+    the pickle write while the main thread dispatches the next epoch's
+    device work. Safe because JAX arrays are immutable — the submitted
+    state stays valid (and alive on device, bounded to roughly one extra
+    state's worth of HBM until fetched).
+
+    Writes are serialized in submission order by the one worker, so
+    repeated saves to ``*_best_model.pt`` never interleave, and each
+    write is atomic (save_checkpoint's tmp + os.replace). Call
+    ``drain()`` before reading checkpoints or exiting; it re-raises the
+    first worker failure so a bad disk isn't silent."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._err: BaseException | None = None
+        self._t = threading.Thread(target=self._work, daemon=True,
+                                   name="ark-tpu-ckpt-writer")
+        self._t.start()
+
+    def _work(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                self._q.task_done()
+                return
+            path, kwargs = job
+            try:
+                save_checkpoint(path, **kwargs)
+            except BaseException as e:  # surfaced at drain()
+                if self._err is None:
+                    self._err = e
+                print(f"[ark_tpu] async checkpoint write to {path} "
+                      f"failed: {e}", file=sys.stderr, flush=True)
+            finally:
+                self._q.task_done()
+
+    def submit(self, path: str, **kwargs) -> None:
+        self._q.put((path, kwargs))
+
+    def drain(self) -> None:
+        """Block until every submitted write hit disk; re-raise the first
+        failure."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def close(self) -> None:
+        self.drain()
+        self._q.put(None)
+        self._t.join(timeout=60)
 
 
 # Unpickling arbitrary files executes arbitrary code (torch.load in the

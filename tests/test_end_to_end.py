@@ -367,3 +367,60 @@ def test_preemption_checkpoint_resume_bitwise(small_datasets, tmp_path,
     assert resumed["final_test/loss"] == control["final_test/loss"]
     assert (resumed["final_test/compression_bits"]
             == control["final_test/compression_bits"])
+
+
+def test_async_checkpointing_matches_sync(small_datasets, tmp_path):
+    """async_checkpointing moves the state fetch + pickle write to a
+    background thread; files, bytes, and metrics must be identical to the
+    synchronous path (drained before the trainer returns)."""
+    import os
+    import pickle
+
+    import numpy as np
+
+    from ark_tpu.experiments.train import main
+
+    cfg_s = _tiny_config(tmp_path, num_epochs=2)
+    sync_final = main(["--config", cfg_s, "--checkpoint-dir",
+                       str(tmp_path / "sync")])
+    cfg_a = _tiny_config(tmp_path, num_epochs=2, async_checkpointing=True)
+    async_final = main(["--config", cfg_a, "--checkpoint-dir",
+                        str(tmp_path / "async")])
+    assert async_final["final_test/loss"] == sync_final["final_test/loss"]
+
+    def best_payload(root):
+        run_dir = os.path.join(root, os.listdir(root)[0])
+        p = os.path.join(run_dir, "syn-paths_ARK_best_model.pt")
+        assert os.path.exists(p)
+        assert not [f for f in os.listdir(run_dir) if ".tmp." in f]
+        with open(p, "rb") as f:
+            return pickle.load(f)
+
+    a = best_payload(str(tmp_path / "async"))
+    s = best_payload(str(tmp_path / "sync"))
+    assert a["epoch"] == s["epoch"] and a["val_loss"] == s["val_loss"]
+    import jax
+    for xa, xs in zip(jax.tree.leaves(a["model_state_dict"]),
+                      jax.tree.leaves(s["model_state_dict"])):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xs))
+
+
+def test_async_checkpoint_writer_surfaces_errors(tmp_path):
+    """A failed background write (bad directory) is loud at drain(), not
+    silent data loss."""
+    import pytest
+
+    from ark_tpu.utils.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    w.submit(str(tmp_path / "no_such_dir" / "x.pt"), epoch=1, params={},
+             opt_state={}, scheduler_state=None, val_loss=0.0, config={},
+             vocabs={}, dataset_meta={})
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        w.drain()
+    # the writer stays usable after a surfaced failure
+    w.submit(str(tmp_path / "ok.pt"), epoch=1, params={}, opt_state={},
+             scheduler_state=None, val_loss=0.0, config={}, vocabs={},
+             dataset_meta={})
+    w.close()
+    assert (tmp_path / "ok.pt").exists()
