@@ -33,6 +33,12 @@ through a remote-TPU tunnel) overlaps device compute, exactly the bench.py
 pipelined-serving mode. Tokens are unaffected (dispatch order == request
 order; each request's rng is independent). Diagnostics go to stderr; stdout
 carries only protocol lines.
+
+Coalescing (dynamic batching; ``--no-coalesce`` to disable): consecutive
+seedless requests already buffered in the input merge into one device
+chunk while their total fits ``--batch`` — a burst of small requests
+packs one dispatch instead of paying a full chunk each, with zero added
+latency. Seeded requests never coalesce (their bitwise contract above).
 """
 
 from __future__ import annotations
@@ -120,8 +126,8 @@ class ServeSession:
 
     # -- request lifecycle ---------------------------------------------------
 
-    def dispatch(self, req: dict) -> dict:
-        """Queue one request on the device (async; returns immediately)."""
+    def validate(self, req: dict) -> int:
+        """Check a data request; returns its n or raises ValueError."""
         if not isinstance(req, dict):
             raise ValueError("request must be a JSON object")
         n = int(req.get("n", 0))
@@ -129,7 +135,29 @@ class ServeSession:
             raise ValueError("'n' must be a positive integer")
         if n > self.max_n:
             raise ValueError(f"'n'={n} exceeds --max-n {self.max_n}")
-        seed = req.get("seed")
+        return n
+
+    def coalescible(self, req) -> bool:
+        """True if this request may share a device dispatch with its
+        neighbors: a valid seedless data request (seeded requests keep
+        the bitwise generate-CLI contract, so they always dispatch
+        alone)."""
+        try:
+            return isinstance(req, dict) and "cmd" not in req \
+                and req.get("seed") is None and 0 < self.validate(req)
+        except (ValueError, TypeError):
+            return False
+
+    def dispatch(self, reqs) -> dict:
+        """Queue one request — or one coalesced GROUP of seedless
+        requests — on the device (async; returns immediately). A group
+        draws a single key from the daemon stream and shares one chunk
+        dispatch; responses are sliced per request in finish()."""
+        if isinstance(reqs, dict):
+            reqs = [reqs]
+        ns = [self.validate(r) for r in reqs]
+        n = sum(ns)
+        seed = reqs[0].get("seed") if len(reqs) == 1 else None
         if seed is not None:
             key = jax.random.key(int(seed))
         else:
@@ -145,15 +173,16 @@ class ServeSession:
             dev = self.bank.sample_sequences_device(self.params, key, n)
         else:
             dev = self.bank.sample_latent_sequences_device(self.params, key, n)
-        return {"req": req, "n": n, "dev": dev, "t0": t0}
+        return {"reqs": reqs, "ns": ns, "n": n, "dev": dev, "t0": t0}
 
-    def finish(self, rec: dict) -> dict:
-        """Fetch the device result, decode, and build the response.
+    def finish(self, rec: dict) -> list[dict]:
+        """Fetch the device result, decode, and build the response(s) —
+        one per request in the (possibly coalesced) record, in order.
 
         ``ms`` is dispatch→response wall time: with --pipeline-depth > 1 it
         includes host-side queueing while newer requests were read, so use
         depth 1 for per-request latency probing. ``host_ms`` (fetch+decode
-        only) is pipeline-invariant."""
+        only, whole record) is pipeline-invariant."""
         n = rec["n"]
         t_host = time.monotonic()
         if isinstance(rec["dev"], list):  # greedy chunks
@@ -161,29 +190,41 @@ class ServeSession:
         else:
             seqs = np.asarray(rec["dev"])
         ms = (time.monotonic() - rec["t0"]) * 1000.0
-        resp = {"id": rec["req"].get("id"), "n": n, "ms": round(ms, 2)}
-        graphs_lbl = None
+        host_ms = None  # computed after the shared decode work
+        graphs_lbl = all_ints = None
         if self.fmt == "labels" or self.verifier is not None:
             graphs_lbl = to_labeled_triples(seqs, self.cfg, self.vocabs,
                                             verbose=False)
-        if self.fmt == "labels":
-            resp["graphs"] = [[list(t) for t in g] for g in graphs_lbl]
-        elif self.fmt == "ints":
-            graphs = seqs_to_triples_batch(seqs, self.cfg["special_tokens"],
-                                           self.cfg["ENT_BASE"],
-                                           self.cfg["REL_BASE"])
-            resp["graphs"] = [[[int(h), int(r), int(t)] for h, r, t in g]
-                              for g in graphs]
-        if self.verifier is not None:
-            nv = sum(1 for g in graphs_lbl
-                     if self.verifier.check_rules_for_graph(g))
-            resp["n_valid"] = nv
-            resp["valid_rate"] = nv / max(1, len(graphs_lbl))
-        resp["host_ms"] = round((time.monotonic() - t_host) * 1000.0, 2)
-        self._served += 1
-        self._graphs += n
-        self._ms_total += ms
-        return resp
+        if self.fmt == "ints":
+            all_ints = seqs_to_triples_batch(seqs, self.cfg["special_tokens"],
+                                             self.cfg["ENT_BASE"],
+                                             self.cfg["REL_BASE"])
+        host_ms = round((time.monotonic() - t_host) * 1000.0, 2)
+
+        resps, off = [], 0
+        for req, rn in zip(rec["reqs"], rec["ns"]):
+            resp = {"id": req.get("id"), "n": rn, "ms": round(ms, 2)}
+            if self.fmt == "labels":
+                resp["graphs"] = [[list(t) for t in g]
+                                  for g in graphs_lbl[off:off + rn]]
+            elif self.fmt == "ints":
+                resp["graphs"] = [[[int(h), int(r), int(t)] for h, r, t in g]
+                                  for g in all_ints[off:off + rn]]
+            if self.verifier is not None:
+                mine = graphs_lbl[off:off + rn]
+                nv = sum(1 for g in mine
+                         if self.verifier.check_rules_for_graph(g))
+                resp["n_valid"] = nv
+                resp["valid_rate"] = nv / max(1, len(mine))
+            resp["host_ms"] = host_ms
+            if len(rec["reqs"]) > 1:
+                resp["coalesced"] = len(rec["reqs"])
+            self._served += 1
+            self._graphs += rn
+            self._ms_total += ms
+            resps.append(resp)
+            off += rn
+        return resps
 
     def stats(self) -> dict:
         return {"ok": True, "requests": self._served, "graphs": self._graphs,
@@ -212,16 +253,28 @@ def _readable(f) -> bool:
         return True
 
 
-def serve_loop(inp, out, session: ServeSession, depth: int = 2) -> None:
+def serve_loop(inp, out, session: ServeSession, depth: int = 2,
+               coalesce: bool = True) -> None:
     """Read JSONL requests from ``inp``, write JSONL responses to ``out``.
 
-    Responses are emitted in request order. Up to ``depth`` requests ride
+    Responses are emitted in request order. Up to ``depth`` records ride
     the device concurrently; when the input has no data ready, pending
     work is flushed so an interactive client always gets its response.
     Control commands and errors drain pending work first (strict output
-    ordering)."""
+    ordering).
+
+    Coalescing (``--no-coalesce`` to disable): consecutive seedless data
+    requests ALREADY BUFFERED in the input merge into one device record
+    while their total fits one ``--batch`` chunk — a stream of small
+    requests packs the chunk instead of paying a full dispatch each. No
+    added latency (only data a read would return without blocking is
+    merged); seeded requests keep the bitwise generate-CLI contract and
+    never coalesce; a coalesced group draws ONE key from the daemon
+    stream (seedless draws have no bitwise contract — the stream stays
+    deterministic for a given input sequence)."""
     depth = max(1, int(depth))
     pending = deque()
+    held = None  # one parsed-but-unprocessed item from coalesce lookahead
 
     def emit(obj):
         out.write(json.dumps(obj) + "\n")
@@ -230,31 +283,51 @@ def serve_loop(inp, out, session: ServeSession, depth: int = 2) -> None:
     def flush_one():
         rec = pending.popleft()
         try:
-            emit(session.finish(rec))
+            for resp in session.finish(rec):
+                emit(resp)
         except Exception as e:  # a failed fetch/decode must not kill the
-            # daemon either — the client still gets its response line
-            emit({"ok": False, "id": rec["req"].get("id"),
-                  "error": f"finish failed: {e}"})
+            # daemon either — every client still gets its response line
+            for req in rec["reqs"]:
+                emit({"ok": False, "id": req.get("id"),
+                      "error": f"finish failed: {e}"})
+
+    def next_item(block):
+        """('req', obj) | ('badjson', msg) | ('eof',) | None (not ready)."""
+        nonlocal held
+        if held is not None:
+            it, held = held, None
+            return it
+        if not block and not _readable(inp):
+            return None
+        line = inp.readline()
+        if not line:
+            return ("eof",)
+        line = line.strip()
+        if not line:
+            return ("blank",)
+        try:
+            return ("req", json.loads(line))
+        except json.JSONDecodeError as e:
+            return ("badjson", f"bad json: {e}")
 
     eof = False
     while not eof or pending:
-        if pending and (eof or len(pending) >= depth or not _readable(inp)):
+        has_input = held is not None or _readable(inp)
+        if pending and (eof or len(pending) >= depth or not has_input):
             flush_one()
             continue
-        line = inp.readline()
-        if not line:
+        it = next_item(block=True)
+        if it[0] == "eof":
             eof = True
             continue
-        line = line.strip()
-        if not line:
+        if it[0] == "blank":
             continue
-        try:
-            req = json.loads(line)
-        except json.JSONDecodeError as e:
+        if it[0] == "badjson":
             while pending:
                 flush_one()
-            emit({"ok": False, "error": f"bad json: {e}"})
+            emit({"ok": False, "error": it[1]})
             continue
+        req = it[1]
         cmd = req.get("cmd") if isinstance(req, dict) else None
         if cmd is not None:
             while pending:
@@ -269,13 +342,32 @@ def serve_loop(inp, out, session: ServeSession, depth: int = 2) -> None:
             else:
                 emit({"ok": False, "error": f"unknown cmd {cmd!r}"})
             continue
+        group = [req]
+        if coalesce and session.coalescible(req):
+            total = session.validate(req)
+            while total < session.batch:
+                nxt = next_item(block=False)
+                if nxt is None:
+                    break
+                if nxt[0] == "eof":
+                    eof = True
+                    break
+                if nxt[0] == "blank":
+                    continue
+                if (nxt[0] != "req" or not session.coalescible(nxt[1])
+                        or total + session.validate(nxt[1]) > session.batch):
+                    held = nxt  # process it on the next loop pass
+                    break
+                group.append(nxt[1])
+                total += session.validate(nxt[1])
         try:
-            pending.append(session.dispatch(req))
+            pending.append(session.dispatch(group))
         except Exception as e:  # bad request must not kill the daemon
             while pending:
                 flush_one()
-            rid = req.get("id") if isinstance(req, dict) else None
-            emit({"ok": False, "id": rid, "error": str(e)})
+            for r in group:
+                rid = r.get("id") if isinstance(r, dict) else None
+                emit({"ok": False, "id": rid, "error": str(e)})
 
 
 def main(argv=None):
@@ -298,6 +390,9 @@ def main(argv=None):
                    choices=["auto", "gumbel", "expmin", "cdf"])
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="requests in flight on the device (1 = serial)")
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="disable merging buffered small seedless requests "
+                        "into one device chunk (dynamic batching)")
     p.add_argument("--format", default="labels",
                    choices=["labels", "ints", "none"],
                    help="'none' omits graphs (latency/validity probing)")
@@ -330,7 +425,8 @@ def main(argv=None):
     inp = open(args.input) if args.input else sys.stdin
     out = open(args.output, "w") if args.output else sys.stdout
     try:
-        serve_loop(inp, out, session, depth=args.pipeline_depth)
+        serve_loop(inp, out, session, depth=args.pipeline_depth,
+                   coalesce=not args.no_coalesce)
     finally:
         if args.input:
             inp.close()

@@ -266,14 +266,14 @@ def _serve_session(ckpt, **kw):
     return ServeSession(str(ckpt), **kw)
 
 
-def _run_serve(session, lines, depth=2):
+def _run_serve(session, lines, depth=2, coalesce=True):
     import io as _io
     import json as _json
     from ark_tpu.experiments.serve import serve_loop
 
     inp = _io.StringIO("".join(l + "\n" for l in lines))
     out = _io.StringIO()
-    serve_loop(inp, out, session, depth=depth)
+    serve_loop(inp, out, session, depth=depth, coalesce=coalesce)
     return [_json.loads(l) for l in out.getvalue().splitlines()]
 
 
@@ -358,6 +358,53 @@ def test_serve_pipelining_and_formats(wd_movies_sail_ckpt):
     assert a == b
     assert not np.array_equal(np.array(jax.random.key_data(sess_a._rng)),
                               key0)
+
+
+def test_serve_coalescing(wd_movies_sail_ckpt):
+    """Dynamic batching: buffered small seedless requests share one device
+    chunk (marked `coalesced`), responses stay per-request and in order,
+    accounting counts every request, and seeded requests / commands are
+    never merged."""
+    import os
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+
+    # 3 seedless requests totalling 6 <= batch 8 -> ONE coalesced record
+    lines = ['{"id": 0, "n": 2}', '{"id": 1, "n": 2}', '{"id": 2, "n": 2}',
+             '{"cmd": "stats"}']
+    resps = _run_serve(_serve_session(ckpt, batch=8), lines)
+    assert [r.get("id") for r in resps[:3]] == [0, 1, 2]
+    assert all(r["coalesced"] == 3 and r["n"] == 2 and len(r["graphs"]) == 2
+               for r in resps[:3])
+    assert resps[3]["requests"] == 3 and resps[3]["graphs"] == 6
+
+    # a seeded request in the middle is a barrier: it keeps its bitwise
+    # contract (same graphs as a solo seeded run) and is never merged
+    mixed = ['{"id": 0, "n": 2}', '{"id": 1, "n": 3, "seed": 7}',
+             '{"id": 2, "n": 2}']
+    resps = _run_serve(_serve_session(ckpt, batch=8), mixed)
+    assert "coalesced" not in resps[1]
+    (solo,) = _run_serve(_serve_session(ckpt, batch=8),
+                         ['{"id": 9, "n": 3, "seed": 7}'])
+    assert resps[1]["graphs"] == solo["graphs"]
+
+    # totals above one chunk don't merge; --no-coalesce disables entirely
+    resps = _run_serve(_serve_session(ckpt, batch=4),
+                       ['{"id": 0, "n": 4}', '{"id": 1, "n": 4}'])
+    assert all("coalesced" not in r for r in resps)
+    resps = _run_serve(_serve_session(ckpt, batch=8),
+                       ['{"id": 0, "n": 2}', '{"id": 1, "n": 2}'],
+                       coalesce=False)
+    assert all("coalesced" not in r for r in resps)
+
+    # an invalid request inside a burst errors alone, neighbors still merge
+    resps = _run_serve(_serve_session(ckpt, batch=8),
+                       ['{"id": 0, "n": 2}', '{"id": 1, "n": 0}',
+                        '{"id": 2, "n": 2}'])
+    assert [r.get("id") for r in resps] == [0, 1, 2]
+    assert resps[1]["ok"] is False and "positive" in resps[1]["error"]
+    assert "graphs" in resps[0] and "graphs" in resps[2]
 
 
 def test_serve_survives_finish_failure(wd_movies_sail_ckpt, monkeypatch):
