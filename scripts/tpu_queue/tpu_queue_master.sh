@@ -25,6 +25,23 @@ bench_item(){
   log "${out##*/} exit=$?"
 }
 
+# archive landed artifacts INTO THE REPO after every stage, so results
+# survive /tmp (machine restart) and are commit-ready even if the tunnel
+# comes back after the interactive session has ended.
+archive(){
+  mkdir -p runs_r4/ab
+  local f
+  for f in /tmp/bench_*.json /tmp/embed_ab.json /tmp/wda_bv_eval.json \
+           /tmp/wda_bm_eval.json; do
+    [ -s "$f" ] || continue
+    grep -q '"error"' "$f" && continue
+    cp "$f" runs_r4/ab/
+  done
+  python scripts/collect_ab_results.py --dir runs_r4/ab \
+    > runs_r4/ab/TABLE.md 2>/dev/null || true
+  log "archived $(ls runs_r4/ab/*.json 2>/dev/null | wc -l) artifacts to runs_r4/ab"
+}
+
 log "master queue: waiting for tunnel"
 until timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   log "tunnel still down"; sleep 120
@@ -35,6 +52,7 @@ log "tunnel up"
 bench_item /tmp/bench_ark.json timeout 3600 python bench.py
 bench_item /tmp/bench_tark.json timeout 5400 env ARK_TPU_BENCH_MODEL=t-ARK python bench.py
 bench_item /tmp/bench_ark_1024.json timeout 3600 env ARK_TPU_BENCH_SAMPLE_BATCH=1024 python bench.py
+archive
 log "stage A done"
 
 # ---- Stage B: sampling strategy + embed-gather A/Bs ----------------------
@@ -43,6 +61,7 @@ bench_item /tmp/bench_expmin.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 AR
 bench_item /tmp/bench_wbf16.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_WDTYPE=bfloat16 python bench.py
 bench_item /tmp/bench_expmin_wbf16.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_STRATEGY=expmin ARK_TPU_BENCH_SAMPLE_WDTYPE=bfloat16 python bench.py
 bench_item /tmp/bench_gumbel_ctl.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 python bench.py
+archive
 log "stage B done"
 
 # ---- Stage C: tile-geometry + k_cands grids ------------------------------
@@ -53,6 +72,7 @@ bench_item /tmp/bench_vb1024_rc256.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAI
 bench_item /tmp/bench_k3.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_KCANDS=3 python bench.py
 bench_item /tmp/bench_k2.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_KCANDS=2 python bench.py
 bench_item /tmp/bench_k3_vb2048.json timeout 5400 env ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_KCANDS=3 ARK_TPU_BENCH_SAMPLE_VBLOCK=2048 ARK_TPU_BENCH_SAMPLE_ROWCHUNK=256 python bench.py
+archive
 log "stage C done"
 
 # ---- Stage D: long quality runs (LAST — hours each) ----------------------
@@ -75,6 +95,7 @@ if [ -n "$BV" ]; then
 else
   log "no best_validity checkpoint found"
 fi
+archive
 log "stage D1 done"
 
 SAIL_CKPT=$(ls runs_r4/wdm_sail/*/wd-movies_SAIL_best_model.pt 2>/dev/null | head -1)
@@ -112,4 +133,5 @@ PY
   fi
 fi
 log "stage D2 done"
+archive
 log "master queue done"
