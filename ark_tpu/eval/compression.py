@@ -202,8 +202,11 @@ def posterior_bits(model, params, data, layout, *, sample_frac=0.1, rng=None,
         if mesh is not None:
             tr, sq = place_batch(tr, mesh), place_batch(sq, mesh)
         ar, kl = bits_fn(params, jnp.asarray(tr), jnp.asarray(sq), k)
-        ar_all.append(np.asarray(ar)[:take])
-        kl_all.append(np.asarray(kl)[:take])
+        # per-row bits come back 'data'-sharded on a mesh; multihost.fetch
+        # all-gathers across hosts (plain np.asarray when single-process)
+        from ark_tpu.parallel import multihost as _mh
+        ar_all.append(_mh.fetch(ar)[:take])
+        kl_all.append(_mh.fetch(kl)[:take])
     ar = np.concatenate(ar_all)
     kl = np.concatenate(kl_all)
     total = ar + kl

@@ -52,6 +52,12 @@ def main(argv=None):
     _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = load_config(args.config)
+    # multi-host launch (one process per pod-slice host): ARK_TPU_COORDINATOR
+    # / _NUM_PROCESSES / _PROCESS_ID env vars, or ARK_TPU_MULTIHOST=1 for the
+    # Cloud TPU auto-detect. Must precede first backend use — after it,
+    # jax.devices() is global and the auto-mesh spans all hosts.
+    from ark_tpu.parallel import multihost as mh
+    mh.initialize_from_env()
     # one TPU job at a time (no-op on the cpu platform: tests/dryruns):
     # queued measurement runs, interactive jobs, and the driver's bench
     # serialize on an advisory flock instead of colliding on the tunnel.
@@ -60,17 +66,23 @@ def main(argv=None):
     from ark_tpu.utils.device_lock import acquire_device_lock
     acquire_device_lock(tag="train")
     entity = args.wandb_entity or os.getenv("WANDB_ENTITY")
+    # non-primary processes of a multi-host run own no side effects: their
+    # Run drops records, writes no files, starts no wandb session. Sweep
+    # overrides (which only the primary's wandb session could receive) are
+    # therefore incompatible with multi-host — configs must be complete.
     run = Run(project=args.wandb_project,
               name=config.get("experiment_name", "ARK_experiment"),
-              entity=entity, config=config, anonymous="allow")
+              entity=entity, config=config, anonymous="allow",
+              enabled=mh.is_primary())
     # sweep support: overrides flow back from the tracker config
     config = apply_overrides(config, run.config)
     config["learning_rate"] = float(config.get("learning_rate", 1e-3))
 
     run_dir = os.path.join(args.checkpoint_dir, run.id)
-    os.makedirs(run_dir, exist_ok=True)
-    run.set_dir(run_dir)
-    dump_effective_config(config, run_dir)
+    if mh.is_primary():
+        os.makedirs(run_dir, exist_ok=True)
+        run.set_dir(run_dir)
+        dump_effective_config(config, run_dir)
 
     final_metrics = run_training(config, run_dir, run)
     run.finish()

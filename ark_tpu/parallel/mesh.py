@@ -152,9 +152,19 @@ def place_state(state: TrainState, mesh: Mesh, shard_vocab: bool = False,
     return TrainState(params, opt_state)
 
 
+def _host_value(x):
+    # keep host values (numpy/python) OUT of a local-device round-trip:
+    # jax.device_put(host_value, global_sharding) is the supported way to
+    # feed a mesh that spans processes (every process passes the same full
+    # array and contributes its addressable shards); detouring through
+    # jnp.asarray would commit the value to one local device first, which
+    # cannot be re-put onto non-addressable devices in multi-host runs
+    return x if isinstance(x, jax.Array) else np.asarray(x)
+
+
 def place_batch(arr, mesh: Mesh):
     """Shard an array's leading (batch) axis over 'data'."""
-    arr = jnp.asarray(arr)
+    arr = _host_value(arr)
     return jax.device_put(arr, batch_sharding(mesh)(arr))
 
 
@@ -162,7 +172,7 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree across the mesh (e.g. the full data arrays the
     epoch scan gathers shuffled batches from)."""
     repl = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), repl), tree)
+    return jax.tree.map(lambda x: jax.device_put(_host_value(x), repl), tree)
 
 
 def make_parallel_train_step(model, layout, config, mesh: Mesh,

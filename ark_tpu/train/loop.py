@@ -41,6 +41,7 @@ from ark_tpu.data.tokenizer import (
 )
 from ark_tpu.eval import get_verifier, posterior_bits, run_semantic_evaluation
 from ark_tpu.models import build_model
+from ark_tpu.parallel import multihost as mh
 from ark_tpu.sample import make_sampler
 from ark_tpu.train.state import (
     TrainState,
@@ -61,7 +62,10 @@ from ark_tpu.utils.profiling import PhaseTimer, maybe_trace
 class DataBundle:
     def __init__(self, config):
         name = config["dataset"]
-        ensure_dataset(name)
+        # multi-host: hosts may share a filesystem — only the primary
+        # materializes missing dataset files, the rest wait (idempotent
+        # either way; no-op barrier single-process)
+        mh.primary_first(lambda: ensure_dataset(name), "ensure_dataset")
         (train_g, val_g, test_g, (e2i, i2e), (r2i, i2r),
          (min_edges, max_edges), _) = load_data_as_list(name)
         use_padding = config.get("use_padding", name.startswith("wd-"))
@@ -203,7 +207,7 @@ class SamplerBank:
         variants — not one per distinct target_n (round-3 VERDICT item 8);
         tokens for any given target_n are unchanged (same per-chunk rng
         stream, same sampler)."""
-        return np.asarray(
+        return mh.fetch(
             self.sample_sequences_device(params, rng, target_n))
 
     def sample_sequences_device(self, params, rng, target_n):
@@ -256,7 +260,7 @@ class SamplerBank:
         """SAIL family: z ~ N(0, I) -> greedy decode (beam=1, the reference's
         training-time evaluation path, ablation_study.py:682-720). Same
         one-dispatch chunk scan as sample_sequences."""
-        return np.asarray(
+        return mh.fetch(
             self.sample_latent_sequences_device(params, rng, target_n))
 
     def sample_latent_sequences_device(self, params, rng, target_n):
@@ -518,9 +522,19 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     train_epoch_fn, eval_epoch_fn = make_epoch_fns(model, layout, config,
                                                    mesh=mesh,
                                                    shard_vocab=shard_vocab)
-    train_triples, train_seq = _repl(bundle.device_train())
-    val_triples, val_seq, val_w = _repl(
-        bundle.device_eval("val", config["batch_size"]))
+    if mesh is not None:
+        # host arrays straight onto the mesh: device_put(numpy, global
+        # sharding) is the one placement that also works when the mesh
+        # spans processes (multi-host) — a local jnp.asarray first would
+        # commit to one device and not transfer out
+        train_triples, train_seq = _repl((bundle.train.triples,
+                                          bundle.train.seq))
+        val_triples, val_seq, val_w = _repl(
+            bundle.host_eval("val", config["batch_size"]))
+    else:
+        train_triples, train_seq = bundle.device_train()
+        val_triples, val_seq, val_w = bundle.device_eval(
+            "val", config["batch_size"])
     sampler_bank = SamplerBank(model, layout, config, mesh=mesh,
                                shard_vocab=shard_vocab)
 
@@ -555,8 +569,19 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     def _ckpt(path, epoch, val_loss):
         sched_state = ({"last_epoch": epoch}
                        if config.get("lr_scheduler", False) else None)
-        kwargs = dict(epoch=epoch, params=state.params,
-                      opt_state=state.opt_state, scheduler_state=sched_state,
+        params_v, opt_v = state.params, state.opt_state
+        if mh.process_count() > 1:
+            # multi-host: fetching cross-host-sharded state (ZeRO-1 /
+            # vocab-sharded leaves) is a COLLECTIVE — run it on the main
+            # thread of EVERY process (identical call order), then only
+            # the primary touches disk. Single-process runs keep the
+            # device arrays so the async writer overlaps the fetch.
+            params_v = mh.fetch_tree(params_v)
+            opt_v = mh.fetch_tree(opt_v)
+            if not mh.is_primary():
+                return
+        kwargs = dict(epoch=epoch, params=params_v,
+                      opt_state=opt_v, scheduler_state=sched_state,
                       val_loss=val_loss, config=config, vocabs=vocabs,
                       dataset_meta=dataset_meta,
                       extras={
@@ -614,11 +639,11 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         with maybe_trace(config, epoch), timer.phase("train_epoch"):
             state, train_m = train_epoch_fn(state, train_triples, train_seq,
                                             k_train, lr, b)
-            train_m = {k: float(v) for k, v in train_m.items()}
+            train_m = {k: float(mh.fetch(v)) for k, v in train_m.items()}
         with timer.phase("validate"):
             val_m = eval_epoch_fn(state.params, val_triples, val_seq, val_w,
                                   k_val, b)
-            val_m = {k: float(v) for k, v in val_m.items()}
+            val_m = {k: float(mh.fetch(v)) for k, v in val_m.items()}
         train_loss = float(train_m["loss"])
         train_recon = float(train_m["reconstruction_loss"])
         train_kl = float(train_m["kl_loss"])
@@ -766,11 +791,15 @@ def final_validation(model, state, bundle, config, run, rng, sampler_bank,
     b = 1.0
     layout = bundle.layout
     rng, k_eval, k_comp, k_sample = jax.random.split(rng, 4)
-    triples, seq, w = bundle.device_eval(split, config["batch_size"])
     if mesh is not None:
         from ark_tpu.parallel import replicate
-        triples, seq, w = replicate((triples, seq, w), mesh)
+        # host arrays straight onto the (possibly multi-host) mesh
+        triples, seq, w = replicate(
+            bundle.host_eval(split, config["batch_size"]), mesh)
+    else:
+        triples, seq, w = bundle.device_eval(split, config["batch_size"])
     m = eval_epoch_fn(state.params, triples, seq, w, k_eval, b)
+    m = {k: float(mh.fetch(v)) for k, v in m.items()}
     stats = posterior_bits(model, state.params, getattr(bundle, split), layout,
                            sample_frac=float(config.get("sample_frac", 0.1)),
                            rng=k_comp, mesh=mesh, shard_vocab=shard_vocab)

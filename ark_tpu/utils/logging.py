@@ -19,12 +19,21 @@ import uuid
 class Run:
     def __init__(self, project: str = "submission", name: str | None = None,
                  entity: str | None = None, config: dict | None = None,
-                 anonymous: str = "allow"):
+                 anonymous: str = "allow", enabled: bool = True):
+        """``enabled=False`` (non-primary processes of a multi-host run,
+        parallel/multihost.py): no wandb, no file, ``log`` drops records —
+        side effects belong to the primary process only."""
         self._wandb = None
         self._file = None
         self._buffer = []
         self._step = 0
+        self._enabled = enabled
         self.config = dict(config or {})
+        if not enabled:
+            import jax
+
+            self.id = f"proc{jax.process_index()}"
+            return
         try:
             if os.environ.get("ARK_TPU_DISABLE_WANDB"):
                 raise ImportError
@@ -43,6 +52,8 @@ class Run:
 
     def set_dir(self, run_dir: str) -> None:
         """JSONL mode: attach the metrics file once the run dir exists."""
+        if not self._enabled:
+            return
         if self._wandb is None:
             os.makedirs(run_dir, exist_ok=True)
             self._file = open(os.path.join(run_dir, "metrics.jsonl"), "a")
@@ -52,6 +63,8 @@ class Run:
             self._file.flush()
 
     def log(self, metrics: dict) -> None:
+        if not self._enabled:
+            return
         if self._wandb is not None:
             self._wandb.log(metrics)
             return

@@ -1,0 +1,34 @@
+"""Subprocess worker for tests/test_multihost.py: one process of a
+two-process (multi-host-shaped) training job on the CPU backend.
+
+Invoked with ARK_TPU_COORDINATOR / ARK_TPU_NUM_PROCESSES /
+ARK_TPU_PROCESS_ID in the environment — the same launch contract
+parallel/multihost.py documents for real pod slices — so the full env
+path (initialize_from_env → global mesh → primary-gated side effects)
+is what gets exercised, not a test-only shim.
+
+Usage: python tests/_multihost_worker.py <config.yaml> <ckpt_dir> <out.json>
+"""
+
+import json
+import sys
+
+import jax
+
+# this environment's sitecustomize imports jax with the axon platform
+# first; the PRIORITY platform must be cpu or backend init dials the
+# TPU tunnel (CLAUDE.md "Environment gotchas")
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    cfg_path, ckpt_dir, out_path = sys.argv[1:4]
+    from ark_tpu.experiments.train import main as train_main
+
+    final = train_main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    with open(out_path, "w") as f:
+        json.dump({k: float(v) for k, v in final.items()}, f)
+
+
+if __name__ == "__main__":
+    main()
