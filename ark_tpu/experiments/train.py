@@ -78,6 +78,9 @@ def main(argv=None):
     config = apply_overrides(config, run.config)
     config["learning_rate"] = float(config.get("learning_rate", 1e-3))
 
+    # all processes of a multi-host run share the primary's run dir
+    # (sharded checkpoints write per-process files into it)
+    run.id = mh.broadcast_str(run.id)
     run_dir = os.path.join(args.checkpoint_dir, run.id)
     if mh.is_primary():
         os.makedirs(run_dir, exist_ok=True)

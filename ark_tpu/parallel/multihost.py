@@ -129,6 +129,24 @@ def fetch_tree(tree):
     return jax.tree.map(fetch, tree)
 
 
+def broadcast_str(s: str, max_len: int = 128) -> str:
+    """Every process returns the PRIMARY's string (no-op single-process).
+    Used to agree on host-side identifiers that one process generates —
+    the run id (a uuid, or wandb's id, minted on the primary) that names
+    the run directory all processes' sharded-checkpoint writes share."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    b = s.encode()[:max_len]
+    buf[: len(b)] = np.frombuffer(b, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b"\x00").decode()
+
+
 def sync(name: str = "ark_tpu") -> None:
     """Barrier across processes (no-op single-process)."""
     import jax

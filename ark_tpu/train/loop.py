@@ -51,7 +51,8 @@ from ark_tpu.train.state import (
 )
 from ark_tpu.train.steps import make_epoch_fns
 from ark_tpu.utils.checkpoint import (AsyncCheckpointWriter, load_checkpoint,
-                                      save_checkpoint, to_device_tree)
+                                      save_checkpoint,
+                                      save_checkpoint_sharded, to_device_tree)
 from ark_tpu.utils.profiling import PhaseTimer, maybe_trace
 
 
@@ -566,9 +567,34 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     ckpt_writer = (AsyncCheckpointWriter()
                    if config.get("async_checkpointing", False) else None)
 
+    # checkpoint_sharded (default off): each host writes only its
+    # addressable shards + the primary writes metadata — no cross-host
+    # all-gather, no full state through host 0 (the save cost that grows
+    # with pod size; utils/checkpoint.save_checkpoint_sharded). Collective
+    # barriers inside → synchronous by design (async_checkpointing would
+    # add nothing: the local-shard fetch is already 1/n_hosts the bytes).
+    ckpt_sharded = bool(config.get("checkpoint_sharded", False))
+    if ckpt_sharded and ckpt_writer is not None:
+        warnings.warn("checkpoint_sharded ignores async_checkpointing "
+                      "(sharded saves are synchronous by design)",
+                      UserWarning, stacklevel=2)
+
     def _ckpt(path, epoch, val_loss):
         sched_state = ({"last_epoch": epoch}
                        if config.get("lr_scheduler", False) else None)
+        if ckpt_sharded:
+            save_checkpoint_sharded(
+                path, epoch=epoch, params=state.params,
+                opt_state=state.opt_state, scheduler_state=sched_state,
+                val_loss=val_loss, config=config, vocabs=vocabs,
+                dataset_meta=dataset_meta,
+                extras={
+                    "rng_state": np.asarray(jax.random.key_data(rng)),
+                    "best_comp_bits": float(best_comp_bits),
+                    "best_val_loss": float(best_val_loss),
+                    "best_validity": float(best_validity),
+                })
+            return
         params_v, opt_v = state.params, state.opt_state
         if mh.process_count() > 1:
             # multi-host: fetching cross-host-sharded state (ZeRO-1 /

@@ -64,6 +64,164 @@ def save_checkpoint(path: str, *, epoch: int, params, opt_state, scheduler_state
     os.replace(tmp, path)
 
 
+class _LeafSpec:
+    """Placeholder for a sharded-out array inside a sharded checkpoint's
+    metadata pickle: keeps the pytree structure (dicts / optax named
+    tuples) intact while the bytes live in the per-process shard files."""
+
+    def __init__(self, shape, dtype):
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = str(dtype)
+
+
+def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
+                            scheduler_state, val_loss: float, config: dict,
+                            vocabs: dict, dataset_meta: dict,
+                            extras: dict | None = None) -> None:
+    """Multi-host sharded save (``checkpoint_sharded: true``): EVERY process
+    calls this; each writes only its locally-addressable array shards
+    (``{path}.shards/proc{k}.pkl``), then the primary writes the ``.pt``
+    metadata with the same reference payload schema — array leaves replaced
+    by :class:`_LeafSpec` placeholders. No cross-host all-gather, no full
+    state through host 0: per host the save moves 1/n_hosts of the bytes,
+    which is the point at pod scale (params + Adam moments ≈ 3x model
+    size). ``load_checkpoint`` reassembles transparently.
+
+    Synchronous by design: the inter-process barrier between shard writes
+    and the metadata write is a collective and must run on the main thread
+    in program order (async_checkpointing is ignored for sharded saves —
+    the local-shard fetch it would overlap is already 1/n the cost).
+
+    Replicated leaves are written once (by whichever process owns the
+    replica-0 shard); a torn overwrite (crash between shard and metadata
+    writes) is detectable — every file carries the epoch, and the loader
+    refuses mismatches."""
+    import jax
+    from ark_tpu.parallel import multihost as mh
+
+    shard_dir = f"{path}.shards"
+    mh.primary_first(lambda: os.makedirs(shard_dir, exist_ok=True),
+                     "ckpt_shard_dir")
+
+    def local_shards(tree):
+        specs, shards = {}, {}
+        def visit(p, x):
+            key = jax.tree_util.keystr(p)
+            if isinstance(x, jax.Array):
+                specs[key] = _LeafSpec(x.shape, x.dtype)
+                shards[key] = [
+                    (tuple((s.start, s.stop) for s, dim
+                           in zip(_norm_index(sh.index, x.shape), x.shape)),
+                     np.asarray(sh.data))
+                    for sh in x.addressable_shards if sh.replica_id == 0]
+                return specs[key]
+            return np.asarray(x)  # host-side leaf: inline into metadata
+        spec_tree = jax.tree_util.tree_map_with_path(visit, tree)
+        return spec_tree, shards
+
+    params_spec, params_shards = local_shards(params)
+    opt_spec, opt_shards = local_shards(opt_state)
+    pid = jax.process_index()
+    shard_payload = {"epoch": int(epoch),
+                     "model_state_dict": params_shards,
+                     "optimizer_state_dict": opt_shards}
+    tmp = os.path.join(shard_dir, f"proc{pid}.pkl.tmp.{os.getpid()}")
+    with open(tmp, "wb") as f:
+        pickle.dump(shard_payload, f, protocol=4)
+    os.replace(tmp, os.path.join(shard_dir, f"proc{pid}.pkl"))
+    mh.sync("ckpt_shards_written")  # all shards on disk before metadata
+    if not mh.is_primary():
+        return
+    payload = {
+        "epoch": int(epoch),
+        "model_state_dict": params_spec,
+        "optimizer_state_dict": opt_spec,
+        "scheduler_state_dict": scheduler_state,
+        "val_loss": float(val_loss),
+        "config": {k: v for k, v in config.items()},
+        "vocabs": vocabs,
+        "dataset_meta": dataset_meta,
+        "format": "ark_tpu.sharded.v1",
+        "shard_dir": os.path.basename(shard_dir),
+        "n_shard_files": int(jax.process_count()),
+    }
+    if extras:
+        payload.update(extras)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def _norm_index(index, shape):
+    """A shard's ``index`` is a tuple of slices into the global array;
+    normalize Nones to concrete bounds."""
+    out = []
+    for sl, dim in zip(index, shape):
+        out.append(slice(sl.start or 0,
+                         dim if sl.stop is None else sl.stop))
+    return tuple(out)
+
+
+def _assemble_sharded(payload: dict, path: str) -> dict:
+    """Reassemble full numpy arrays from the per-process shard files."""
+    import jax
+
+    shard_dir = os.path.join(os.path.dirname(os.path.abspath(path)),
+                             payload["shard_dir"])
+    filled: dict[str, np.ndarray] = {}
+    covered: dict[str, int] = {}
+    specs: dict[str, _LeafSpec] = {}
+    for tree_key in ("model_state_dict", "optimizer_state_dict"):
+        def collect(p, x, tree_key=tree_key):
+            if isinstance(x, _LeafSpec):
+                specs[tree_key + jax.tree_util.keystr(p)] = x
+            return x
+        jax.tree_util.tree_map_with_path(
+            collect, payload[tree_key],
+            is_leaf=lambda x: isinstance(x, _LeafSpec))
+    for k, spec in specs.items():
+        filled[k] = np.zeros(spec.shape, spec.dtype)
+        covered[k] = 0
+    for i in range(int(payload["n_shard_files"])):
+        fp = os.path.join(shard_dir, f"proc{i}.pkl")
+        with open(fp, "rb") as f:
+            part = _SafeUnpickler(f).load()
+        if int(part["epoch"]) != int(payload["epoch"]):
+            raise ValueError(
+                f"sharded checkpoint {path} is torn: metadata epoch "
+                f"{payload['epoch']} but {fp} holds epoch {part['epoch']}")
+        for tree_key in ("model_state_dict", "optimizer_state_dict"):
+            for key, pieces in part[tree_key].items():
+                full_key = tree_key + key
+                if full_key not in filled:
+                    continue
+                for bounds, data in pieces:
+                    idx = tuple(slice(b[0], b[1]) for b in bounds)
+                    filled[full_key][idx] = data
+                    covered[full_key] += data.size
+    short = [k for k, n in covered.items()
+             if n < int(np.prod(specs[k].shape))]
+    if short:
+        raise ValueError(f"sharded checkpoint {path} is missing regions "
+                         f"for: {short[:5]}")
+
+    def materialize(tree_key, tree):
+        def fill(p, x):
+            if isinstance(x, _LeafSpec):
+                return filled[tree_key + jax.tree_util.keystr(p)]
+            return x
+        return jax.tree_util.tree_map_with_path(
+            fill, tree, is_leaf=lambda x: isinstance(x, _LeafSpec))
+
+    out = dict(payload)
+    out["model_state_dict"] = materialize("model_state_dict",
+                                          payload["model_state_dict"])
+    out["optimizer_state_dict"] = materialize(
+        "optimizer_state_dict", payload["optimizer_state_dict"])
+    return out
+
+
 class AsyncCheckpointWriter:
     """Background checkpoint writer (``async_checkpointing: true``).
 
@@ -134,6 +292,9 @@ class _SafeUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if module == "builtins" and name in _SAFE_BUILTINS:
             return super().find_class(module, name)
+        if module == __name__ and name == "_LeafSpec":
+            # sharded-checkpoint metadata placeholder (pure data)
+            return _LeafSpec
         if module.split(".")[0] in ("numpy", "optax", "jax"):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
@@ -153,4 +314,9 @@ def load_checkpoint(path: str) -> dict:
     if is_torch_checkpoint(path):
         return load_torch_checkpoint(path)
     with open(path, "rb") as f:
-        return _SafeUnpickler(f).load()
+        payload = _SafeUnpickler(f).load()
+    if payload.get("format") == "ark_tpu.sharded.v1":
+        # multi-host sharded save: reassemble the full arrays from the
+        # per-process shard files (save_checkpoint_sharded)
+        payload = _assemble_sharded(payload, path)
+    return payload

@@ -166,7 +166,7 @@ def test_two_process_vocab_sharded_geometry(small_datasets, tmp_path):
     _, cfg = _config(tmp_path)
     cfg.update(mesh_axes={"data": 4, "model": 2}, shard_vocab=True,
                num_epochs=1, verify_every=1, compression_log_every=1,
-               save_every=1)
+               save_every=1, checkpoint_sharded=True)
     p.write_text(yaml.safe_dump(cfg))
     finals, run_dir = _run_pair(str(p), tmp_path, small_datasets, "tp")
 
@@ -176,10 +176,14 @@ def test_two_process_vocab_sharded_geometry(small_datasets, tmp_path):
     assert np.isfinite(finals[0]["final_test/loss"])
     assert np.isfinite(finals[0]["final_test/compression_bits"])
 
-    # vocab-sharded params were reassembled to full shape before the write
+    # sharded checkpoint I/O across hosts: each process wrote its own
+    # shard file, and loading reassembles full-shape vocab-sharded params
     from ark_tpu.utils import load_checkpoint
 
-    ckpt = load_checkpoint(str(run_dir / "syn-paths_ARK_best_model.pt"))
+    best = run_dir / "syn-paths_ARK_best_model.pt"
+    assert (best.parent / (best.name + ".shards") / "proc0.pkl").exists()
+    assert (best.parent / (best.name + ".shards") / "proc1.pkl").exists()
+    ckpt = load_checkpoint(str(best))
     eff = ckpt["config"]  # carries the derived keys (vocab_size etc.)
     params = ckpt["model_state_dict"]
     v_padded = eff["vocab_size"] + (-eff["vocab_size"]) % eff[
