@@ -77,6 +77,20 @@ def main(argv=None):
     # sweep support: overrides flow back from the tracker config
     config = apply_overrides(config, run.config)
     config["learning_rate"] = float(config.get("learning_rate", 1e-3))
+    if mh.process_count() > 1:
+        # overrides reach only the primary's wandb session; a diverging
+        # effective config would give the hosts different collective
+        # schedules (silent deadlock) — fail fast instead
+        import hashlib
+        import json
+
+        digest = hashlib.sha256(json.dumps(
+            config, sort_keys=True, default=str).encode()).hexdigest()
+        if digest != mh.broadcast_str(digest):
+            raise ValueError(
+                "effective config differs across processes (wandb sweep "
+                "overrides are primary-only) — multi-host runs need a "
+                "complete config file, not sweep-injected values")
 
     # all processes of a multi-host run share the primary's run dir
     # (sharded checkpoints write per-process files into it)

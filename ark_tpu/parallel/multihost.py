@@ -58,6 +58,15 @@ def initialize_from_env() -> bool:
     if _already_initialized():
         return True
     if coord:
+        missing = [v for v in ("ARK_TPU_NUM_PROCESSES", "ARK_TPU_PROCESS_ID")
+                   if v not in os.environ]
+        if missing:
+            raise ValueError(
+                f"ARK_TPU_COORDINATOR={coord} is set but {missing} "
+                "is/are not — a multi-host launch needs all three "
+                "(ARK_TPU_COORDINATOR, ARK_TPU_NUM_PROCESSES, "
+                "ARK_TPU_PROCESS_ID), or just ARK_TPU_MULTIHOST=1 on "
+                "Cloud TPU pod slices")
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["ARK_TPU_NUM_PROCESSES"]),
@@ -106,17 +115,49 @@ def fetch(x):
         return np.asarray(x)
     if x.is_fully_addressable or x.is_fully_replicated:
         return np.asarray(x)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
     sh = x.sharding
     if isinstance(sh, NamedSharding):
         # replicate on device (XLA all-gather over ICI), then read the
-        # local copy — one tiny compile per (shape, mesh), cached by jit
-        y = jax.jit(lambda a: a, out_shardings=NamedSharding(sh.mesh, P()))(x)
-        return np.asarray(y)
+        # local copy; the jitted identity is cached PER MESH (jit caches
+        # key on function identity — a fresh lambda per call would
+        # re-trace every fetch)
+        return np.asarray(_replicator(sh.mesh)(x))
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+_REPL_CACHE: dict = {}
+
+
+def _replicator(mesh):
+    fn = _REPL_CACHE.get(mesh)
+    if fn is None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fn = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+        _REPL_CACHE[mesh] = fn
+    return fn
+
+
+def any_flag(local: bool) -> bool:
+    """Collective OR of a host-side boolean (no-op single-process).
+
+    EVERY process must call this at the same point — it is how
+    process-local signals (SIGTERM preemption) become a job-wide
+    decision without breaking the identical-control-flow contract."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return bool(local)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([1 if local else 0], np.int32))
+    return bool(np.asarray(flags).max())
 
 
 def fetch_tree(tree):

@@ -25,6 +25,7 @@ import os
 import signal
 import sys
 import threading
+import time
 import warnings
 
 import jax
@@ -624,6 +625,12 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             save_checkpoint(path, **kwargs)
 
     preempt_safe = bool(config.get("handle_preemption", True))
+    # wall-clock budget (default off): jobs on time-boxed reservations
+    # checkpoint and exit cleanly via the same preemption path instead of
+    # being killed mid-run. Host clocks differ — the job-wide stop
+    # decision is the collective any_flag below.
+    run_budget_s = float(config.get("max_run_seconds", 0) or 0)
+    t_start = time.time()
     _sig_installed = False
     _sig_prev = None
     if preempt_safe:
@@ -767,7 +774,18 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                 checkpoint_dir,
                 f"{bundle.name}_{model_type}_checkpoint_epoch_{epoch + 1}.pt"),
                 epoch + 1, val_loss)
-        if preempt_safe and _PREEMPT.is_set():
+        # preemption (SIGTERM) and the wall-clock budget are PROCESS-LOCAL
+        # signals; in a multi-host run the stop decision must be job-wide
+        # or the stopping process would issue _ckpt's collectives while
+        # the others enter the next epoch's — mismatched collective order
+        # deadlocks the slice. any_flag is a collective OR, called
+        # unconditionally every epoch by every participating process.
+        preempt_now = ((preempt_safe and _PREEMPT.is_set())
+                       or (run_budget_s > 0
+                           and time.time() - t_start >= run_budget_s))
+        if (preempt_safe or run_budget_s > 0) and mh.process_count() > 1:
+            preempt_now = mh.any_flag(preempt_now)
+        if preempt_now:
             p_path = os.path.join(checkpoint_dir,
                                   f"{bundle.name}_{model_type}_preempt.pt")
             _ckpt(p_path, epoch + 1, val_loss)

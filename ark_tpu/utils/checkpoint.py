@@ -93,13 +93,22 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
     the local-shard fetch it would overlap is already 1/n the cost).
 
     Replicated leaves are written once (by whichever process owns the
-    replica-0 shard); a torn overwrite (crash between shard and metadata
-    writes) is detectable — every file carries the epoch, and the loader
-    refuses mismatches."""
+    replica-0 shard). Crash safety matches the dense path's atomic
+    os.replace: shards land in a fresh per-epoch subdirectory
+    (``.shards/e{epoch}/``) and the metadata — written last, atomically —
+    is what flips the checkpoint to the new version, so a crash mid-save
+    leaves the previous version fully loadable; superseded subdirectories
+    are pruned after the metadata lands. Every file also carries the
+    epoch and the loader refuses mismatches (defense in depth).
+
+    Requires a filesystem all hosts share (NFS / GCS-fuse on pod
+    slices); the primary verifies every process's shard file is visible
+    before publishing metadata and fails fast otherwise."""
     import jax
     from ark_tpu.parallel import multihost as mh
 
-    shard_dir = f"{path}.shards"
+    shard_root = f"{path}.shards"
+    shard_dir = os.path.join(shard_root, f"e{int(epoch)}")
     mh.primary_first(lambda: os.makedirs(shard_dir, exist_ok=True),
                      "ckpt_shard_dir")
 
@@ -132,6 +141,15 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
     mh.sync("ckpt_shards_written")  # all shards on disk before metadata
     if not mh.is_primary():
         return
+    n_procs = int(jax.process_count())
+    missing = [i for i in range(n_procs)
+               if not os.path.exists(os.path.join(shard_dir, f"proc{i}.pkl"))]
+    if missing:
+        raise RuntimeError(
+            f"sharded checkpoint save to {path}: shard files from "
+            f"processes {missing} are not visible to the primary — "
+            "checkpoint_sharded requires a filesystem all hosts share "
+            "(NFS / GCS-fuse); use the default gathered save otherwise")
     payload = {
         "epoch": int(epoch),
         "model_state_dict": params_spec,
@@ -142,8 +160,9 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
         "vocabs": vocabs,
         "dataset_meta": dataset_meta,
         "format": "ark_tpu.sharded.v1",
-        "shard_dir": os.path.basename(shard_dir),
-        "n_shard_files": int(jax.process_count()),
+        "shard_dir": os.path.join(os.path.basename(shard_root),
+                                  f"e{int(epoch)}"),
+        "n_shard_files": n_procs,
     }
     if extras:
         payload.update(extras)
@@ -151,6 +170,12 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
     os.replace(tmp, path)
+    # the metadata now points at e{epoch}; prune superseded versions
+    import shutil
+
+    for d in os.listdir(shard_root):
+        if d != f"e{int(epoch)}":
+            shutil.rmtree(os.path.join(shard_root, d), ignore_errors=True)
 
 
 def _norm_index(index, shape):

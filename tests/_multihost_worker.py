@@ -23,6 +23,28 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     cfg_path, ckpt_dir, out_path = sys.argv[1:4]
+    import os
+
+    # Asymmetric preemption injection for the regression test: on the
+    # named process ONLY, set the process-local preemption flag at the top
+    # of the named epoch (lr_for_epoch runs right there, after the
+    # trainer's _PREEMPT.clear()). Without the collective any_flag, the
+    # other process would march into the next epoch's collectives and the
+    # job would deadlock.
+    tp = os.environ.get("ARK_TPU_TEST_PREEMPT_PROC")
+    if tp is not None and tp == os.environ.get("ARK_TPU_PROCESS_ID"):
+        from ark_tpu.train import loop as _loop
+
+        at_epoch = int(os.environ.get("ARK_TPU_TEST_PREEMPT_EPOCH", "1"))
+        real_lr = _loop.lr_for_epoch
+
+        def patched(config, epoch):
+            if epoch >= at_epoch:
+                _loop.request_preemption()
+            return real_lr(config, epoch)
+
+        _loop.lr_for_epoch = patched
+
     from ark_tpu.experiments.train import main as train_main
 
     final = train_main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])

@@ -91,13 +91,38 @@ def test_torn_sharded_checkpoint_refused(tmp_path):
     path = str(tmp_path / "t.pt")
     save_checkpoint_sharded(path, epoch=1, params=params,
                             opt_state=opt_state, **_meta())
-    # newer shards land, crash before the metadata write: epoch mismatch
+    # a shard file from a different save generation smuggled into the
+    # published subdirectory: epoch stamps catch it
     save_checkpoint_sharded(str(tmp_path / "other.pt"), epoch=2,
                             params=params, opt_state=opt_state, **_meta())
-    os.replace(str(tmp_path / "other.pt.shards/proc0.pkl"),
-               path + ".shards/proc0.pkl")
+    os.replace(str(tmp_path / "other.pt.shards/e2/proc0.pkl"),
+               path + ".shards/e1/proc0.pkl")
     with pytest.raises(ValueError, match="torn"):
         load_checkpoint(path)
+
+
+def test_resave_prunes_old_version_and_old_stays_loadable(tmp_path):
+    """A crash mid-save must leave the previous checkpoint loadable: new
+    shards land in a fresh e{epoch}/ subdir and only the atomic metadata
+    write publishes them; superseded subdirs are pruned afterwards."""
+    mesh = make_mesh({"data": 8})
+    params, opt_state = _state(mesh)
+    path = str(tmp_path / "c.pt")
+    save_checkpoint_sharded(path, epoch=1, params=params,
+                            opt_state=opt_state, **_meta())
+    # simulate the crash window: epoch-2 shards written, no metadata yet
+    # (write them by saving elsewhere and copying the subdir in)
+    import shutil
+    save_checkpoint_sharded(str(tmp_path / "o.pt"), epoch=2, params=params,
+                            opt_state=opt_state, **_meta())
+    shutil.copytree(str(tmp_path / "o.pt.shards/e2"), path + ".shards/e2")
+    ck = load_checkpoint(path)  # old version intact
+    assert ck["epoch"] == 1
+    # completing the save prunes e1 and publishes e2
+    save_checkpoint_sharded(path, epoch=2, params=params,
+                            opt_state=opt_state, **_meta())
+    assert load_checkpoint(path)["epoch"] == 2
+    assert sorted(os.listdir(path + ".shards")) == ["e2"]
 
 
 def test_trainer_sharded_checkpoint_resume(small_datasets, tmp_path):

@@ -31,7 +31,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_pair(cfg_path, tmp_path, small_datasets, tag):
+def _run_pair(cfg_path, tmp_path, small_datasets, tag, extra_env=None):
     """Launch the two-process job; return (finals, run_dir)."""
     port = _free_port()
     base_env = dict(
@@ -46,6 +46,7 @@ def _run_pair(cfg_path, tmp_path, small_datasets, tag):
         ARK_TPU_DATA_DIR=str(small_datasets),
         ARK_TPU_COORDINATOR=f"localhost:{port}",
         ARK_TPU_NUM_PROCESSES="2",
+        **(extra_env or {}),
     )
     mh_dir = tmp_path / f"{tag}_ckpts"
     procs, outs, logs = [], [], []
@@ -181,11 +182,36 @@ def test_two_process_vocab_sharded_geometry(small_datasets, tmp_path):
     from ark_tpu.utils import load_checkpoint
 
     best = run_dir / "syn-paths_ARK_best_model.pt"
-    assert (best.parent / (best.name + ".shards") / "proc0.pkl").exists()
-    assert (best.parent / (best.name + ".shards") / "proc1.pkl").exists()
+    shard_root = best.parent / (best.name + ".shards")
+    (sub,) = os.listdir(shard_root)  # one live version after pruning
+    assert sorted(os.listdir(shard_root / sub)) == ["proc0.pkl",
+                                                    "proc1.pkl"]
     ckpt = load_checkpoint(str(best))
     eff = ckpt["config"]  # carries the derived keys (vocab_size etc.)
     params = ckpt["model_state_dict"]
     v_padded = eff["vocab_size"] + (-eff["vocab_size"]) % eff[
         "vocab_pad_multiple"]
     assert params["tok_emb"].shape[0] == v_padded
+
+
+def test_preemption_on_one_process_stops_the_whole_job(small_datasets,
+                                                       tmp_path):
+    """SIGTERM-style preemption hits ONE host; the collective any_flag in
+    the epoch boundary must turn it into a job-wide stop. Without it,
+    the preempted process would checkpoint and exit while the other
+    entered the next epoch's collectives — a slice-wide deadlock (this
+    test would time out)."""
+    p = tmp_path / "config_pre.yaml"
+    _, cfg = _config(tmp_path)
+    cfg.update(num_epochs=4, verify_every=10, compression_log_every=10,
+               save_every=10, handle_preemption=True)
+    p.write_text(yaml.safe_dump(cfg))
+    finals, run_dir = _run_pair(
+        str(p), tmp_path, small_datasets, "pre",
+        extra_env={"ARK_TPU_TEST_PREEMPT_PROC": "1",
+                   "ARK_TPU_TEST_PREEMPT_EPOCH": "1"})
+    # both processes agreed to stop at the same boundary (epoch 2 = the
+    # first boundary after the flag set at the top of epoch index 1)
+    assert finals[0] == finals[1]
+    assert finals[0]["preempted_at_epoch"] == 2.0
+    assert (run_dir / "syn-paths_ARK_preempt.pt").exists()
