@@ -35,7 +35,16 @@ from ark_tpu.train.state import TrainState
 
 def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
     """axis_sizes like {'data': 4, 'model': 2}; default: 1-D data mesh over
-    all local devices."""
+    all devices (global across hosts in a multi-host run).
+
+    Device-to-mesh assignment goes through
+    ``mesh_utils.create_device_mesh``, which lays the logical mesh onto
+    the physical ICI topology (on a pod slice, a naive ``jax.devices()``
+    reshape can put 'model'-axis neighbors on non-adjacent chips and turn
+    every logits logsumexp / gradient reduce into multi-hop traffic; the
+    scaling-book recipe is topology-aware assignment first, then GSPMD).
+    Falls back to the plain reshape where the helper doesn't apply
+    (e.g. odd device subsets)."""
     devices = devices if devices is not None else jax.devices()
     if axis_sizes is None:
         axis_sizes = {"data": len(devices)}
@@ -45,7 +54,13 @@ def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
     if n_needed > len(devices):
         raise ValueError(f"mesh {axis_sizes} needs {n_needed} devices, "
                          f"have {len(devices)}")
-    arr = np.asarray(devices[:n_needed]).reshape(shape)
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape,
+                                            devices=devices[:n_needed])
+    except Exception:
+        arr = np.asarray(devices[:n_needed]).reshape(shape)
     return Mesh(arr, names)
 
 
