@@ -89,14 +89,19 @@ def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
                                              device_mesh)
     import jax.numpy as jnp
 
-    triples, seq, w = (jnp.asarray(h_triples), jnp.asarray(h_seq),
-                       jnp.asarray(h_w))
     if device_mesh is not None:
         from ark_tpu.parallel import replicate
 
-        triples, seq, w = replicate((triples, seq, w), device_mesh)
+        # host arrays straight onto the (possibly multi-host) mesh
+        triples, seq, w = replicate((h_triples, h_seq, h_w), device_mesh)
+    else:
+        triples, seq, w = (jnp.asarray(h_triples), jnp.asarray(h_seq),
+                           jnp.asarray(h_w))
     _, eval_epoch = make_epoch_fns(model, layout, config, mesh=device_mesh)
+    from ark_tpu.parallel import multihost as mh
+
     m = eval_epoch(params, triples, seq, w, k_eval, 1.0)
+    m = {k: float(mh.fetch(v)) for k, v in m.items()}
 
     stats = posterior_bits(model, params, getattr(bundle, data_split), layout,
                            sample_frac=float(config.get("sample_frac", 0.1)),
@@ -147,13 +152,18 @@ def main(argv=None):
                         help="shard evaluation over all local devices "
                              "(auto, when >1 attached and batch divides)")
     args = parser.parse_args(argv)
+    # multi-host launch contract (same as the trainer's): ARK_TPU_* env
+    # vars; after this the auto-mesh spans all hosts
+    from ark_tpu.parallel import multihost as mh
+    mh.initialize_from_env()
     # one TPU job at a time (no-op on the cpu platform)
     from ark_tpu.utils.device_lock import acquire_device_lock
     acquire_device_lock(tag="evaluate")
     out = evaluate_checkpoint(args.checkpoint, split=args.split,
                               num_samples=args.num_samples, seed=args.seed,
                               mesh=args.mesh)
-    print(json.dumps(out))
+    if mh.is_primary():
+        print(json.dumps(out))
     return out
 
 

@@ -45,11 +45,20 @@ def main():
 
         _loop.lr_for_epoch = patched
 
-    from ark_tpu.experiments.train import main as train_main
+    if cfg_path.startswith("eval:"):
+        # evaluate-CLI mode: "eval:<checkpoint path>" (ckpt_dir unused)
+        from ark_tpu.experiments.evaluate import main as eval_main
 
-    final = train_main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+        final = eval_main(["--checkpoint", cfg_path[len("eval:"):],
+                           "--split", "validation", "--num-samples", "32"])
+    else:
+        from ark_tpu.experiments.train import main as train_main
+
+        final = train_main(["--config", cfg_path,
+                            "--checkpoint-dir", ckpt_dir])
     with open(out_path, "w") as f:
-        json.dump({k: float(v) for k, v in final.items()}, f)
+        json.dump({k: (float(v) if isinstance(v, (int, float)) else v)
+                   for k, v in final.items()}, f)
 
 
 if __name__ == "__main__":

@@ -215,3 +215,22 @@ def test_preemption_on_one_process_stops_the_whole_job(small_datasets,
     assert finals[0] == finals[1]
     assert finals[0]["preempted_at_epoch"] == 2.0
     assert (run_dir / "syn-paths_ARK_preempt.pt").exists()
+
+
+def test_two_process_evaluate_cli(small_datasets, tmp_path):
+    """The evaluate CLI over a two-process global mesh: loss/compression/
+    sampling agree exactly across processes, JSON printed by the primary
+    only."""
+    p = tmp_path / "config_ev.yaml"
+    _, cfg = _config(tmp_path)
+    cfg.update(num_epochs=1, verify_every=5, compression_log_every=5,
+               save_every=5)
+    p.write_text(yaml.safe_dump(cfg))
+    finals, run_dir = _run_pair(str(p), tmp_path, small_datasets, "evtrain")
+    best = run_dir / "syn-paths_ARK_best_model.pt"
+    assert best.exists()
+
+    evals, _ = _run_pair(f"eval:{best}", tmp_path, small_datasets, "evtrain")
+    assert evals[0] == evals[1]
+    assert np.isfinite(evals[0]["final_validation/loss"])
+    assert np.isfinite(evals[0]["final_validation/compression_bits"])
