@@ -774,6 +774,29 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                 checkpoint_dir,
                 f"{bundle.name}_{model_type}_checkpoint_epoch_{epoch + 1}.pt"),
                 epoch + 1, val_loss)
+            # keep_checkpoints: N (default 0 = keep all, reference
+            # behavior): prune periodic checkpoints beyond the newest N —
+            # a week-long run at save_every 10 otherwise accumulates
+            # hundreds of multi-GB files. best/best-validity/preempt
+            # checkpoints are never pruned.
+            keep = int(config.get("keep_checkpoints", 0) or 0)
+            if keep > 0 and mh.is_primary():
+                import glob
+                import re
+                import shutil
+
+                pat = os.path.join(
+                    checkpoint_dir,
+                    f"{bundle.name}_{model_type}_checkpoint_epoch_*.pt")
+                def _ep(p):
+                    mobj = re.search(r"_epoch_(\d+)\.pt$", p)
+                    return int(mobj.group(1)) if mobj else -1
+                for old in sorted(glob.glob(pat), key=_ep)[:-keep]:
+                    try:
+                        os.remove(old)
+                    except OSError:
+                        pass
+                    shutil.rmtree(old + ".shards", ignore_errors=True)
         # preemption (SIGTERM) and the wall-clock budget are PROCESS-LOCAL
         # signals; in a multi-host run the stop decision must be job-wide
         # or the stopping process would issue _ckpt's collectives while

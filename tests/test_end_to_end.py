@@ -424,3 +424,30 @@ def test_async_checkpoint_writer_surfaces_errors(tmp_path):
              dataset_meta={})
     w.close()
     assert (tmp_path / "ok.pt").exists()
+
+
+def test_keep_checkpoints_prunes_periodic(small_datasets, tmp_path):
+    """keep_checkpoints: N prunes periodic checkpoints beyond the newest N
+    (and their shard dirs); best-model checkpoints are never pruned."""
+    import glob
+
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=6, save_every=2,
+                            verify_every=10, compression_log_every=10,
+                            keep_checkpoints=2, checkpoint_sharded=True)
+    ckpt_dir = str(tmp_path / "ckpts_keep")
+    main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    periodic = sorted(glob.glob(
+        os.path.join(run_dir, "syn-paths_ARK_checkpoint_epoch_*.pt")))
+    assert [os.path.basename(p) for p in periodic] == [
+        "syn-paths_ARK_checkpoint_epoch_4.pt",
+        "syn-paths_ARK_checkpoint_epoch_6.pt"]
+    # shard dirs pruned alongside; survivors keep theirs
+    assert not os.path.exists(
+        os.path.join(run_dir, "syn-paths_ARK_checkpoint_epoch_2.pt.shards"))
+    for p in periodic:
+        assert os.path.isdir(p + ".shards")
+    assert os.path.exists(
+        os.path.join(run_dir, "syn-paths_ARK_best_model.pt"))
