@@ -86,7 +86,10 @@ def main(argv=None):
 
         digest = hashlib.sha256(json.dumps(
             config, sort_keys=True, default=str).encode()).hexdigest()
-        if digest != mh.broadcast_str(digest):
+        # collective decision: the primary's digest trivially matches its
+        # own broadcast, so the raise must be job-wide (any_flag) or the
+        # primary would sail past into the next collective and hang there
+        if mh.any_flag(digest != mh.broadcast_str(digest)):
             raise ValueError(
                 "effective config differs across processes (wandb sweep "
                 "overrides are primary-only) — multi-host runs need a "

@@ -59,7 +59,16 @@ def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
 
         arr = mesh_utils.create_device_mesh(shape,
                                             devices=devices[:n_needed])
-    except Exception:
+    except Exception as e:
+        # loud fallback: on a real slice a naive assignment is a silent
+        # multi-hop-ICI perf regression, so say which one is in effect
+        import warnings
+
+        warnings.warn(
+            f"mesh_utils.create_device_mesh failed ({e!r}); falling back "
+            f"to the naive jax.devices() reshape for mesh {axis_sizes} — "
+            "fine on CPU/single-host, topology-suboptimal on pod slices",
+            UserWarning, stacklevel=2)
         arr = np.asarray(devices[:n_needed]).reshape(shape)
     return Mesh(arr, names)
 

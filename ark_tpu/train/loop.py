@@ -620,6 +620,16 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                           "best_validity": float(best_validity),
                       })
         if ckpt_writer is not None:
+            # the NEXT epoch's train step DONATES the state buffers
+            # (steps.py jit donate_argnums), which deletes them under the
+            # background writer's feet — a fetch that loses the race dies
+            # with "Array has been deleted". Snapshot device copies (an
+            # async HBM copy, ~3x model bytes, dispatched without blocking
+            # the host): copies are never donated, so the overlapped fetch
+            # is race-free.
+            kwargs["params"] = jax.tree.map(jnp.copy, kwargs["params"])
+            kwargs["opt_state"] = jax.tree.map(jnp.copy,
+                                               kwargs["opt_state"])
             ckpt_writer.submit(path, **kwargs)
         else:
             save_checkpoint(path, **kwargs)
@@ -630,7 +640,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
     # being killed mid-run. Host clocks differ — the job-wide stop
     # decision is the collective any_flag below.
     run_budget_s = float(config.get("max_run_seconds", 0) or 0)
-    t_start = time.time()
+    t_start = time.monotonic()  # a duration: immune to NTP clock steps
     _sig_installed = False
     _sig_prev = None
     if preempt_safe:
@@ -778,25 +788,33 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
             # behavior): prune periodic checkpoints beyond the newest N —
             # a week-long run at save_every 10 otherwise accumulates
             # hundreds of multi-GB files. best/best-validity/preempt
-            # checkpoints are never pruned.
+            # checkpoints are never pruned. Under async_checkpointing the
+            # prune runs on the writer thread AFTER the queued saves land
+            # (a glob on the main thread would miss in-flight files and
+            # could delete one a queued save is about to re-create).
             keep = int(config.get("keep_checkpoints", 0) or 0)
             if keep > 0 and mh.is_primary():
-                import glob
-                import re
-                import shutil
+                def _prune(keep=keep):
+                    import glob
+                    import re
+                    import shutil
 
-                pat = os.path.join(
-                    checkpoint_dir,
-                    f"{bundle.name}_{model_type}_checkpoint_epoch_*.pt")
-                def _ep(p):
-                    mobj = re.search(r"_epoch_(\d+)\.pt$", p)
-                    return int(mobj.group(1)) if mobj else -1
-                for old in sorted(glob.glob(pat), key=_ep)[:-keep]:
-                    try:
-                        os.remove(old)
-                    except OSError:
-                        pass
-                    shutil.rmtree(old + ".shards", ignore_errors=True)
+                    pat = os.path.join(
+                        checkpoint_dir,
+                        f"{bundle.name}_{model_type}_checkpoint_epoch_*.pt")
+                    def _ep(p):
+                        mobj = re.search(r"_epoch_(\d+)\.pt$", p)
+                        return int(mobj.group(1)) if mobj else -1
+                    for old in sorted(glob.glob(pat), key=_ep)[:-keep]:
+                        try:
+                            os.remove(old)
+                        except OSError:
+                            pass
+                        shutil.rmtree(old + ".shards", ignore_errors=True)
+                if ckpt_writer is not None and not ckpt_sharded:
+                    ckpt_writer.submit_task(_prune)
+                else:
+                    _prune()
         # preemption (SIGTERM) and the wall-clock budget are PROCESS-LOCAL
         # signals; in a multi-host run the stop decision must be job-wide
         # or the stopping process would issue _ckpt's collectives while
@@ -805,7 +823,7 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
         # unconditionally every epoch by every participating process.
         preempt_now = ((preempt_safe and _PREEMPT.is_set())
                        or (run_budget_s > 0
-                           and time.time() - t_start >= run_budget_s))
+                           and time.monotonic() - t_start >= run_budget_s))
         if (preempt_safe or run_budget_s > 0) and mh.process_count() > 1:
             preempt_now = mh.any_flag(preempt_now)
         if preempt_now:

@@ -94,21 +94,28 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
 
     Replicated leaves are written once (by whichever process owns the
     replica-0 shard). Crash safety matches the dense path's atomic
-    os.replace: shards land in a fresh per-epoch subdirectory
-    (``.shards/e{epoch}/``) and the metadata — written last, atomically —
-    is what flips the checkpoint to the new version, so a crash mid-save
-    leaves the previous version fully loadable; superseded subdirectories
-    are pruned after the metadata lands. Every file also carries the
-    epoch and the loader refuses mismatches (defense in depth).
+    os.replace: shards land in a FRESH per-save subdirectory
+    (``.shards/e{epoch}-{nonce}/`` — the nonce makes re-saves of the same
+    (path, epoch) from different training trajectories distinct, so a
+    crash mid-resave can never mix shard sets) and the metadata — written
+    last, atomically — is what flips the checkpoint to the new version;
+    a crash mid-save leaves the previous version fully loadable;
+    superseded subdirectories are pruned after the metadata lands. Every
+    file also carries the epoch and the loader refuses mismatches
+    (defense in depth).
 
     Requires a filesystem all hosts share (NFS / GCS-fuse on pod
     slices); the primary verifies every process's shard file is visible
     before publishing metadata and fails fast otherwise."""
+    import uuid
+
     import jax
     from ark_tpu.parallel import multihost as mh
 
     shard_root = f"{path}.shards"
-    shard_dir = os.path.join(shard_root, f"e{int(epoch)}")
+    # all processes must agree on the fresh subdir name: primary mints it
+    subdir = mh.broadcast_str(f"e{int(epoch)}-{uuid.uuid4().hex[:8]}")
+    shard_dir = os.path.join(shard_root, subdir)
     mh.primary_first(lambda: os.makedirs(shard_dir, exist_ok=True),
                      "ckpt_shard_dir")
 
@@ -160,8 +167,7 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
         "vocabs": vocabs,
         "dataset_meta": dataset_meta,
         "format": "ark_tpu.sharded.v1",
-        "shard_dir": os.path.join(os.path.basename(shard_root),
-                                  f"e{int(epoch)}"),
+        "shard_dir": os.path.join(os.path.basename(shard_root), subdir),
         "n_shard_files": n_procs,
     }
     if extras:
@@ -170,12 +176,21 @@ def save_checkpoint_sharded(path: str, *, epoch: int, params, opt_state,
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
     os.replace(tmp, path)
-    # the metadata now points at e{epoch}; prune superseded versions
+    # the metadata now points at this save's subdir; prune superseded
+    # versions (dirs) and any stray files
     import shutil
 
     for d in os.listdir(shard_root):
-        if d != f"e{int(epoch)}":
-            shutil.rmtree(os.path.join(shard_root, d), ignore_errors=True)
+        if d == subdir:
+            continue
+        stale = os.path.join(shard_root, d)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
 
 
 def _norm_index(index, shape):
@@ -254,9 +269,11 @@ class AsyncCheckpointWriter:
     device→host fetch (params + Adam moments ≈ 3× the model's bytes, at
     tunnel latency/bandwidth); a single worker thread runs the fetch and
     the pickle write while the main thread dispatches the next epoch's
-    device work. Safe because JAX arrays are immutable — the submitted
-    state stays valid (and alive on device, bounded to roughly one extra
-    state's worth of HBM until fetched).
+    device work. The CALLER must submit buffers that no later computation
+    donates — the trainer snapshots device copies first (jnp.copy per
+    leaf), because its train step donates the live state and a donated
+    buffer dies under the fetch ("Array has been deleted"). The copies
+    cost roughly one extra state's worth of HBM until fetched.
 
     Writes are serialized in submission order by the one worker, so
     repeated saves to ``*_best_model.pt`` never interleave, and each
@@ -277,19 +294,29 @@ class AsyncCheckpointWriter:
             if job is None:
                 self._q.task_done()
                 return
-            path, kwargs = job
             try:
-                save_checkpoint(path, **kwargs)
+                if callable(job):
+                    job()  # e.g. a retention prune, ordered after writes
+                else:
+                    path, kwargs = job
+                    save_checkpoint(path, **kwargs)
             except BaseException as e:  # surfaced at drain()
                 if self._err is None:
                     self._err = e
-                print(f"[ark_tpu] async checkpoint write to {path} "
-                      f"failed: {e}", file=sys.stderr, flush=True)
+                what = "task" if callable(job) else f"write to {job[0]}"
+                print(f"[ark_tpu] async checkpoint {what} failed: {e}",
+                      file=sys.stderr, flush=True)
             finally:
                 self._q.task_done()
 
     def submit(self, path: str, **kwargs) -> None:
         self._q.put((path, kwargs))
+
+    def submit_task(self, fn) -> None:
+        """Run ``fn`` on the writer thread AFTER every previously submitted
+        write has landed (queue order) — e.g. pruning old checkpoints,
+        which must see the just-written files on disk."""
+        self._q.put(fn)
 
     def drain(self) -> None:
         """Block until every submitted write hit disk; re-raise the first

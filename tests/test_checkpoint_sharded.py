@@ -95,8 +95,10 @@ def test_torn_sharded_checkpoint_refused(tmp_path):
     # published subdirectory: epoch stamps catch it
     save_checkpoint_sharded(str(tmp_path / "other.pt"), epoch=2,
                             params=params, opt_state=opt_state, **_meta())
-    os.replace(str(tmp_path / "other.pt.shards/e2/proc0.pkl"),
-               path + ".shards/e1/proc0.pkl")
+    (other_sub,) = os.listdir(tmp_path / "other.pt.shards")
+    (mine_sub,) = os.listdir(path + ".shards")
+    os.replace(str(tmp_path / "other.pt.shards" / other_sub / "proc0.pkl"),
+               os.path.join(path + ".shards", mine_sub, "proc0.pkl"))
     with pytest.raises(ValueError, match="torn"):
         load_checkpoint(path)
 
@@ -115,14 +117,17 @@ def test_resave_prunes_old_version_and_old_stays_loadable(tmp_path):
     import shutil
     save_checkpoint_sharded(str(tmp_path / "o.pt"), epoch=2, params=params,
                             opt_state=opt_state, **_meta())
-    shutil.copytree(str(tmp_path / "o.pt.shards/e2"), path + ".shards/e2")
+    (o_sub,) = os.listdir(tmp_path / "o.pt.shards")
+    shutil.copytree(str(tmp_path / "o.pt.shards" / o_sub),
+                    os.path.join(path + ".shards", o_sub))
     ck = load_checkpoint(path)  # old version intact
     assert ck["epoch"] == 1
-    # completing the save prunes e1 and publishes e2
+    # completing the save prunes the old subdir and publishes the new one
     save_checkpoint_sharded(path, epoch=2, params=params,
                             opt_state=opt_state, **_meta())
     assert load_checkpoint(path)["epoch"] == 2
-    assert sorted(os.listdir(path + ".shards")) == ["e2"]
+    subs = os.listdir(path + ".shards")
+    assert len(subs) == 1 and subs[0].startswith("e2-")
 
 
 def test_trainer_sharded_checkpoint_resume(small_datasets, tmp_path):

@@ -451,3 +451,25 @@ def test_keep_checkpoints_prunes_periodic(small_datasets, tmp_path):
         assert os.path.isdir(p + ".shards")
     assert os.path.exists(
         os.path.join(run_dir, "syn-paths_ARK_best_model.pt"))
+
+
+def test_keep_checkpoints_prunes_under_async_writer(small_datasets,
+                                                    tmp_path):
+    """Retention with async_checkpointing: prunes run on the writer thread
+    AFTER queued saves land, so in-flight files are neither missed nor
+    resurrected."""
+    import glob
+
+    from ark_tpu.experiments.train import main
+
+    cfg_path = _tiny_config(tmp_path, num_epochs=6, save_every=2,
+                            verify_every=10, compression_log_every=10,
+                            keep_checkpoints=2, async_checkpointing=True)
+    ckpt_dir = str(tmp_path / "ckpts_keep_async")
+    main(["--config", cfg_path, "--checkpoint-dir", ckpt_dir])
+    run_dir = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    periodic = sorted(glob.glob(
+        os.path.join(run_dir, "syn-paths_ARK_checkpoint_epoch_*.pt")))
+    assert [os.path.basename(p) for p in periodic] == [
+        "syn-paths_ARK_checkpoint_epoch_4.pt",
+        "syn-paths_ARK_checkpoint_epoch_6.pt"]
