@@ -19,6 +19,11 @@ request, in request order.
       -> {"id": 7, "n": 500, "ms": 41.3, "graphs": [[[h, r, t], ...], ...]}
   {"cmd": "ping"} / {"cmd": "stats"} / {"cmd": "shutdown"}
       -> {"ok": true, ...}
+  {"cmd": "trace", "n": K, "dir": DIR}
+      -> {"ok": true, "trace_dir": DIR, "n": K} and a jax.profiler trace
+         (xprof/perfetto-viewable device + host timelines) is captured
+         around the next K data requests — live-daemon debuggability
+         without a restart.
 
 Determinism: a request with an explicit ``seed`` returns exactly the
 graphs ``generate --seed <seed> --num-samples <n>`` would (same
@@ -46,8 +51,10 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import select
 import sys
+import tempfile
 import time
 from collections import deque
 
@@ -275,10 +282,26 @@ def serve_loop(inp, out, session: ServeSession, depth: int = 2,
     depth = max(1, int(depth))
     pending = deque()
     held = None  # one parsed-but-unprocessed item from coalesce lookahead
+    trace_left = 0  # data requests still to capture under jax.profiler
 
     def emit(obj):
         out.write(json.dumps(obj) + "\n")
         out.flush()
+
+    def _stop_trace():
+        nonlocal trace_left
+        if not trace_left:
+            return
+        trace_left = 0
+        try:
+            import jax
+
+            jax.profiler.stop_trace()
+            print("[ark_tpu.serve] profiler trace complete",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[ark_tpu.serve] stop_trace failed: {e}",
+                  file=sys.stderr, flush=True)
 
     def flush_one():
         rec = pending.popleft()
@@ -337,8 +360,25 @@ def serve_loop(inp, out, session: ServeSession, depth: int = 2,
             elif cmd == "stats":
                 emit(session.stats())
             elif cmd == "shutdown":
+                _stop_trace()
                 emit({"ok": True, "shutdown": True})
                 return
+            elif cmd == "trace":
+                # {"cmd": "trace", "n": K, "dir": "..."} — capture a
+                # jax.profiler trace (XLA device + host timelines,
+                # viewable in xprof/perfetto) around the NEXT K data
+                # requests. Production debuggability: answer "why is
+                # this request slow" on a live daemon without a restart.
+                tdir = req.get("dir") or os.path.join(
+                    tempfile.gettempdir(), "ark_tpu_serve_trace")
+                try:
+                    import jax
+
+                    jax.profiler.start_trace(tdir)
+                    trace_left = max(1, int(req.get("n", 1)))
+                    emit({"ok": True, "trace_dir": tdir, "n": trace_left})
+                except Exception as e:
+                    emit({"ok": False, "error": f"start_trace: {e}"})
             else:
                 emit({"ok": False, "error": f"unknown cmd {cmd!r}"})
             continue
@@ -362,12 +402,21 @@ def serve_loop(inp, out, session: ServeSession, depth: int = 2,
                 total += session.validate(nxt[1])
         try:
             pending.append(session.dispatch(group))
+            if trace_left:
+                trace_left -= 1
+                if trace_left == 0:
+                    # the host fetch must land inside the trace window
+                    while pending:
+                        flush_one()
+                    trace_left = 1  # re-arm the guard for _stop_trace
+                    _stop_trace()
         except Exception as e:  # bad request must not kill the daemon
             while pending:
                 flush_one()
             for r in group:
                 rid = r.get("id") if isinstance(r, dict) else None
                 emit({"ok": False, "id": rid, "error": str(e)})
+    _stop_trace()  # input closed mid-capture: finalize the trace files
 
 
 def main(argv=None):

@@ -483,3 +483,29 @@ def test_serve_greedy_lm_cli(small_datasets, tmp_path, capsys):
     assert resps[2]["requests"] == 2 and resps[2]["graphs"] == 12
     err = capsys.readouterr().err
     assert "[serve] ready" in err and "warmed n=6" in err
+
+
+def test_serve_trace_command(wd_movies_sail_ckpt, tmp_path):
+    """{"cmd": "trace", "n": K}: a jax.profiler capture wraps the next K
+    data requests and writes a viewable trace; request/response contract
+    is unchanged."""
+    import json as _json
+    import os
+
+    _, run_dir = wd_movies_sail_ckpt
+    ckpt = os.path.join(run_dir, "wd-movies_SAIL_best_model.pt")
+    tdir = str(tmp_path / "trace")
+    session = _serve_session(ckpt, batch=4)
+    resps = _run_serve(session, [
+        _json.dumps({"cmd": "trace", "n": 1, "dir": tdir}),
+        '{"id": "t1", "n": 3, "seed": 5}',
+        '{"id": "t2", "n": 2}',
+        '{"cmd": "shutdown"}',
+    ])
+    assert resps[0] == {"ok": True, "trace_dir": tdir, "n": 1}
+    assert resps[1]["id"] == "t1" and len(resps[1]["graphs"]) == 3
+    assert resps[2]["id"] == "t2" and len(resps[2]["graphs"]) == 2
+    assert resps[3]["ok"] is True
+    # trace files landed (plugins/profile/<ts>/... on every backend)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(tdir) for f in fs]
+    assert found, f"no trace files under {tdir}"
