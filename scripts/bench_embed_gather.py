@@ -26,7 +26,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+# run as `python scripts/bench_embed_gather.py`: sys.path[0] is scripts/,
+# so the repo root (where __graft_entry__ lives) must be added explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -107,7 +107,8 @@ def main(argv=None):
         print(to_markdown(rows))
         done = sum(r["status"] == "ok" for r in rows)
         print(f"\n{done}/{len(rows)} runs landed (pending ones are still "
-              "queued or the tunnel is down; see /tmp/tpu_queue.log)")
+              "queued or the tunnel is down; queue commands + env settings: "
+              "scripts/tpu_queue/tpu_queue_master.sh)")
     return rows
 
 
