@@ -67,7 +67,8 @@ def collect(d):
             rows.append({"label": label, "file": fname, "what": what,
                          "status": "pending"})
             continue
-        row = {"label": label, "file": fname, "what": what, "status": "ok",
+        row = {"label": label, "file": fname, "what": what,
+               "status": r.get("status", "ok"),
                "train_gps": r.get("value"),  # 0.0 under SKIP_TRAIN
                "sample_gps": r.get("sample_graphs_per_sec_chip"),
                "sample_serial_gps": r.get(
@@ -105,7 +106,7 @@ def main(argv=None):
         print(json.dumps(rows, indent=1))
     else:
         print(to_markdown(rows))
-        done = sum(r["status"] == "ok" for r in rows)
+        done = sum(r["status"] != "pending" for r in rows)
         print(f"\n{done}/{len(rows)} runs landed (pending ones are still "
               "queued or the tunnel is down; queue commands + env settings: "
               "scripts/tpu_queue/tpu_queue_master.sh)")
