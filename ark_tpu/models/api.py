@@ -121,6 +121,11 @@ def build_model(config: dict, mesh=None) -> Model:
         use_pallas_embed = _pe
     else:
         use_pallas_embed = bool(_pe)
+    if use_pallas_embed and jax.default_backend() not in ("cpu",):
+        # the 'block' schedule is interpret-only — its (1, D) blocks fail
+        # Mosaic's (8, 128) block-shape rule at lowering (round-5 hardware
+        # A/B; ops/pallas/embed_gather.py docstring)
+        use_pallas_embed = "dma"
 
     if mt == "ARK":
         def init(rng):
@@ -176,7 +181,8 @@ def build_model(config: dict, mesh=None) -> Model:
                 vocab_out=vocab_size, use_pallas_embed=use_pallas_embed)
 
         def decode_state(params, batch):
-            return decoders.txf_lm_state(params, batch, seq_len, dtype)
+            return decoders.txf_lm_state(params, batch, seq_len, n_heads,
+                                         dtype)
 
         def decode_step(params, state, token, pos):
             return decoders.txf_lm_step(params, state, token, pos, n_heads,
@@ -297,7 +303,8 @@ def build_model(config: dict, mesh=None) -> Model:
         return logits, mu, logv
 
     def decode_state(params, z):
-        return decoders.txf_cond_state(params["dec"], z, seq_len, dtype)
+        return decoders.txf_cond_state(params["dec"], z, seq_len, n_heads,
+                                       dtype)
 
     def decode_step(params, state, token, pos):
         return decoders.txf_cond_step(params["dec"], state, token, pos,

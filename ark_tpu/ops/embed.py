@@ -31,7 +31,8 @@ def _mode(use_pallas):
 def take_rows(table, ids, use_pallas=False):
     """table[ids] ([V, D] x int[...] -> [..., D])."""
     mode = _mode(use_pallas)
-    if mode is None or not embed_gather.supported(table.shape[1], table.dtype):
+    if mode is None or not embed_gather.supported(table.shape[1], table.dtype,
+                                                  table.shape[0]):
         return table[ids]
     return embed_gather.gather_rows(table, ids, mode)
 
@@ -40,7 +41,9 @@ def take_triples(e_emb, r_emb, triples, use_pallas=False, dtype=jnp.float32):
     """[e_emb[h] | r_emb[r] | e_emb[t]] ([..., 3] -> [..., 3D])."""
     mode = _mode(use_pallas)
     if (mode is None or e_emb.shape[1] != r_emb.shape[1]
-            or not embed_gather.supported(e_emb.shape[1], e_emb.dtype)
+            or not embed_gather.supported(e_emb.shape[1], e_emb.dtype,
+                                          min(e_emb.shape[0],
+                                              r_emb.shape[0]))
             or r_emb.dtype != e_emb.dtype):
         h = e_emb[triples[..., 0]]
         r = r_emb[triples[..., 1]]

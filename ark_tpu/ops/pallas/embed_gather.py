@@ -15,11 +15,21 @@ Two schedules, selected by ``mode``:
     prefetched into SMEM and consumed by the input BlockSpec's index_map, so
     Pallas's own pipeline double-buffers the row DMAs (and skips the fetch
     entirely when consecutive ids repeat — common for PAD runs).
+    INTERPRET-ONLY: the (1, D) input block violates Mosaic's (8, 128)
+    block-shape rule (the sublane dim must be a multiple of 8 or the whole
+    array axis), and an arbitrary-row gather cannot use 8-row blocks — the
+    round-5 hardware A/B errored at lowering. build_model coerces
+    'block'/True to 'dma' on TPU (models/api.py).
   - ``"dma"``    — ``GCHUNK`` rows per grid step: the table stays in ANY/HBM
-    and the kernel issues one async row-copy per token into the output
-    block, amortizing per-grid-step overhead over GCHUNK rows (the round-1
+    and the kernel issues one async copy per token into VMEM scratch,
+    amortizing per-grid-step overhead over GCHUNK rows (the round-1
     GRU lesson: per-step DMA management dominates at small blocks,
-    docs/ROADMAP.md "Negative results").
+    docs/ROADMAP.md "Negative results"). Mosaic rejects sub-tile HBM
+    slices ("Slice shape along dimension 0 must be aligned to tiling (8)",
+    the round-5 hardware A/B), so each copy fetches the ALIGNED 8-row
+    block containing the id and the kernel selects the row in-register
+    with a one-hot contraction — 8x read amplification, but contiguous
+    16 KB DMAs that pipeline, vs XLA's latency-bound scattered gather.
 
 Both are bandwidth-bound (no FLOPs); the A/B vs XLA's gather is measured by
 scripts/bench_embed_gather.py. Backward is the gather's transpose — a
@@ -50,7 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 GCHUNK = 128  # rows per grid step in "dma" mode
 
 
-def supported(d, dtype=jnp.float32):
+def supported(d, dtype=jnp.float32, v=8):
+    del v  # any row count: _pad8 tops sub-tile tables up to one 8-row tile
     return d % 128 == 0 and jnp.dtype(dtype) == jnp.float32
 
 
@@ -82,33 +93,57 @@ def _gather_block(table, ids):
     )(ids, table)
 
 
-def _dma_kernel(ids_ref, tbl_ref, out_ref, scr, sems):
+def _aligned_base(row, v):
+    """Start of the 8-row tile-aligned block containing ``row`` (clamped so
+    base + 8 <= v; v >= 8 — _pad8 guarantees it)."""
+    return jnp.minimum((row // 8) * 8, v - 8)
+
+
+def _pad8(table):
+    """Top a sub-tile table up to one full 8-row tile (ids are clamped to
+    the REAL row count before the kernel, so pad rows are never selected).
+    Only tiny tables (e.g. syn-tipr's 5-relation table) pay the copy."""
+    v = table.shape[0]
+    if v >= 8:
+        return table, v
+    return jnp.pad(table, ((0, 8 - v), (0, 0))), 8
+
+
+def _dma_kernel(ids_ref, tbl_ref, out_ref, scr, sems, *, v):
     i = pl.program_id(0)
     g = out_ref.shape[0]
 
     def copy(k):
-        row = ids_ref[i * g + k]
-        return pltpu.make_async_copy(tbl_ref.at[pl.ds(row, 1), :],
-                                     scr.at[pl.ds(k, 1), :], sems.at[k])
+        base = _aligned_base(ids_ref[i * g + k], v)
+        return pltpu.make_async_copy(tbl_ref.at[pl.ds(base, 8), :],
+                                     scr.at[k], sems.at[k])
 
     jax.lax.fori_loop(0, g, lambda k, c: (copy(k).start(), c)[1], 0)
     jax.lax.fori_loop(0, g, lambda k, c: (copy(k).wait(), c)[1], 0)
-    out_ref[...] = scr[...]
+    # in-register row select: one-hot over the 8 fetched rows per token
+    # (sub-tile HBM slices are illegal; see module docstring)
+    rows = ids_ref[pl.ds(i * g, g)]
+    off = rows - _aligned_base(rows, v)  # [g] in [0, 8)
+    onehot = (off[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (g, 8), 1)).astype(scr.dtype)
+    out_ref[...] = jnp.einsum("ke,ked->kd", onehot, scr[...],
+                              preferred_element_type=scr.dtype)
 
 
 def _gather_dma(table, ids):
     n = ids.shape[0]
-    _, d = table.shape
+    table, v = _pad8(table)
+    d = table.shape[1]
     n_pad = ((n + GCHUNK - 1) // GCHUNK) * GCHUNK
     ids_p = jnp.pad(ids, (0, n_pad - n)) if n_pad != n else ids
     out = pl.pallas_call(
-        _dma_kernel,
+        functools.partial(_dma_kernel, v=v),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pad // GCHUNK,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((GCHUNK, d), lambda i, ids: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((GCHUNK, d), table.dtype),
+            scratch_shapes=[pltpu.VMEM((GCHUNK, 8, d), table.dtype),
                             pltpu.SemaphoreType.DMA((GCHUNK,))],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), table.dtype),
@@ -174,7 +209,8 @@ def _triples_block(e_emb, r_emb, h, r, t):
     )(h, r, t, e_emb, r_emb, e_emb)
 
 
-def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, out_ref, scr, sems):
+def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, out_ref, scr,
+                       sems, *, ne, nr):
     i = pl.program_id(0)
     g = out_ref.shape[0]
     d = e_ref.shape[1]
@@ -182,13 +218,15 @@ def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, out_ref, scr, sems):
     def copies(k):
         j = i * g + k
         return (
-            pltpu.make_async_copy(e_ref.at[pl.ds(h_ref[j], 1), :],
-                                  scr.at[pl.ds(k, 1), 0:d], sems.at[0, k]),
-            pltpu.make_async_copy(re_ref.at[pl.ds(r_ref[j], 1), :],
-                                  scr.at[pl.ds(k, 1), d:2 * d], sems.at[1, k]),
-            pltpu.make_async_copy(e_ref.at[pl.ds(t_ref[j], 1), :],
-                                  scr.at[pl.ds(k, 1), 2 * d:3 * d],
-                                  sems.at[2, k]),
+            pltpu.make_async_copy(
+                e_ref.at[pl.ds(_aligned_base(h_ref[j], ne), 8), :],
+                scr.at[0, k], sems.at[0, k]),
+            pltpu.make_async_copy(
+                re_ref.at[pl.ds(_aligned_base(r_ref[j], nr), 8), :],
+                scr.at[1, k], sems.at[1, k]),
+            pltpu.make_async_copy(
+                e_ref.at[pl.ds(_aligned_base(t_ref[j], ne), 8), :],
+                scr.at[2, k], sems.at[2, k]),
         )
 
     def start(k, c):
@@ -203,25 +241,38 @@ def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, out_ref, scr, sems):
 
     jax.lax.fori_loop(0, g, start, 0)
     jax.lax.fori_loop(0, g, wait, 0)
-    out_ref[...] = scr[...]
+
+    def select(slot, ids_ref, v):
+        rows = ids_ref[pl.ds(i * g, g)]
+        off = rows - _aligned_base(rows, v)
+        onehot = (off[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (g, 8), 1)).astype(scr.dtype)
+        return jnp.einsum("ke,ked->kd", onehot, scr[slot],
+                          preferred_element_type=scr.dtype)
+
+    out_ref[:, 0:d] = select(0, h_ref, ne)
+    out_ref[:, d:2 * d] = select(1, r_ref, nr)
+    out_ref[:, 2 * d:3 * d] = select(2, t_ref, ne)
 
 
 def _triples_dma(e_emb, r_emb, h, r, t):
     n = h.shape[0]
+    e_emb, ne = _pad8(e_emb)
+    r_emb, nr = _pad8(r_emb)
     d = e_emb.shape[1]
     n_pad = ((n + GCHUNK - 1) // GCHUNK) * GCHUNK
     if n_pad != n:
         pad = (0, n_pad - n)
         h, r, t = (jnp.pad(a, pad) for a in (h, r, t))
     out = pl.pallas_call(
-        _triple_dma_kernel,
+        functools.partial(_triple_dma_kernel, ne=ne, nr=nr),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_pad // GCHUNK,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((GCHUNK, 3 * d), lambda i, h, r, t: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((GCHUNK, 3 * d), e_emb.dtype),
+            scratch_shapes=[pltpu.VMEM((3, GCHUNK, 8, d), e_emb.dtype),
                             pltpu.SemaphoreType.DMA((3, GCHUNK))],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3 * d), e_emb.dtype),

@@ -110,38 +110,48 @@ def main():
          jax.random.randint(jax.random.key(6), (b, me), 0,
                             layout.num_entities)], axis=-1)
 
-    modes = {"xla": False, "pallas-block": "block", "pallas-dma": "dma"}
+    # the "block" schedule's (1, D) blocks violate Mosaic's (8, 128)
+    # block-shape rule for arbitrary-row gathers — it lowers in interpret
+    # mode only (measured: the round-5 hardware A/B errored at lowering;
+    # ops/pallas/embed_gather.py docstring). Hardware A/Bs compare xla
+    # vs the dma schedule; a mode that fails to lower is recorded, not fatal.
+    modes = {"xla": False, "pallas-dma": "dma"}
+    if args.interpret:
+        modes["pallas-block"] = "block"
     results = {}
+
+    def measure(site, name, fn, nbytes, rows):
+        try:
+            sec = _time_scan(fn, args.iters, args.warmup)
+        except Exception as e:
+            print(json.dumps({"site": site, "mode": name,
+                              "error": f"{type(e).__name__}: {e}"[:300]}))
+            return
+        results[(site, name)] = sec
+        print(json.dumps({"site": site, "mode": name, "rows": rows,
+                          "us_per_call": round(sec * 1e6, 2),
+                          "gb_s": round(nbytes / sec / 1e9, 1)}))
 
     for name, up in modes.items():
         def tok_fn(i, up=up):
             ids = (seq + i) % vp  # iteration-dependent: defeats hoisting
             return embed.take_rows(tok_emb, ids, use_pallas=up).sum()
 
-        sec = _time_scan(tok_fn, args.iters, args.warmup)
-        nbytes = 2 * b * lm1 * d * 4  # row read + row write
-        row = {"site": "tok_emb", "mode": name, "rows": b * lm1,
-               "us_per_call": round(sec * 1e6, 2),
-               "gb_s": round(nbytes / sec / 1e9, 1)}
-        results[("tok_emb", name)] = sec
-        print(json.dumps(row))
+        measure("tok_emb", name, tok_fn, 2 * b * lm1 * d * 4, b * lm1)
 
     for name, up in modes.items():
         def tri_fn(i, up=up):
             t = trip.at[..., 0].set((trip[..., 0] + i) % layout.num_entities)
             return embed.take_triples(e_emb, r_emb, t, use_pallas=up).sum()
 
-        sec = _time_scan(tri_fn, args.iters, args.warmup)
-        nbytes = 2 * b * me * 3 * d * 4
-        row = {"site": "triples", "mode": name, "rows": b * me * 3,
-               "us_per_call": round(sec * 1e6, 2),
-               "gb_s": round(nbytes / sec / 1e9, 1)}
-        results[("triples", name)] = sec
-        print(json.dumps(row))
+        measure("triples", name, tri_fn, 2 * b * me * 3 * d * 4, b * me * 3)
 
     best = {}
     for site in ("tok_emb", "triples"):
-        site_best = min(modes, key=lambda m: results[(site, m)])
+        done = [m for m in modes if (site, m) in results]
+        if "xla" not in done:
+            continue
+        site_best = min(done, key=lambda m: results[(site, m)])
         xla = results[(site, "xla")]
         best[site] = {"best": site_best,
                       "speedup_vs_xla": round(
