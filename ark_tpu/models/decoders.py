@@ -72,32 +72,41 @@ def _head_apply(p_head, tok_emb, y, tied, vocab_out=None):
 # ---------------------------------------------------------------------------
 
 def _mha_step(p, x_t, cache_k, cache_v, pos, n_heads):
-    """x_t [B, 1, D]; cache_k/v [B, L, D]; pos scalar int (current index).
+    """x_t [B, 1, D]; cache_k/v [B, H, L, dh] — head-major, the TPU-native
+    KV layout: the per-step attention einsums read the caches directly, so
+    no [B, L, D] <-> [B, H, L, dh] transpose materializes a full-cache copy
+    every token (at the wd-articles sampling geometry those copies were
+    ~0.5 GB/token-step of pure HBM churn across the 3 layers — the round-4
+    t-ARK sampler gap, runs_r4/ab/bench_tark.json). pos: scalar int index.
 
     Writes the new k/v at ``pos`` and attends the single query over
-    cache[: pos+1] (masked beyond pos). Returns (out [B, 1, D], new caches)."""
+    cache[..., : pos+1, :] (masked beyond pos). Returns
+    (out [B, 1, D], new caches)."""
     d = x_t.shape[-1]
+    bsz = x_t.shape[0]
+    dh = d // n_heads
+    L = cache_k.shape[2]
     w = p["in_proj_w"].astype(x_t.dtype)
     b = p["in_proj_b"]
     q = jnp.dot(x_t, w[:, :d], preferred_element_type=jnp.float32) + b[:d]
     k = jnp.dot(x_t, w[:, d:2 * d], preferred_element_type=jnp.float32) + b[d:2 * d]
     v = jnp.dot(x_t, w[:, 2 * d:], preferred_element_type=jnp.float32) + b[2 * d:]
     q, k, v = (t.astype(x_t.dtype) for t in (q, k, v))
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, pos, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, pos, 0))
+    # per-token [B, 1, D] -> [B, H, 1, dh] transposes are tiny; the caches
+    # stay head-major for their whole lifetime
+    kh_t = k.reshape(bsz, 1, n_heads, dh).transpose(0, 2, 1, 3)
+    vh_t = v.reshape(bsz, 1, n_heads, dh).transpose(0, 2, 1, 3)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, kh_t, (0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, vh_t, (0, 0, pos, 0))
 
-    bsz, L, _ = cache_k.shape
-    dh = d // n_heads
     qh = q.reshape(bsz, 1, n_heads, dh).transpose(0, 2, 1, 3)
-    kh = cache_k.reshape(bsz, L, n_heads, dh).transpose(0, 2, 1, 3)
-    vh = cache_v.reshape(bsz, L, n_heads, dh).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, cache_k,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.asarray(dh, jnp.float32))
     valid = jnp.arange(L)[None, None, None, :] <= pos
     scores = jnp.where(valid, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+    probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, cache_v,
                      preferred_element_type=jnp.float32).astype(x_t.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, 1, d)
     return linear(p["out_proj"], out), cache_k, cache_v
@@ -123,10 +132,11 @@ def _decoder_layer_step(p, x_t, memory, cache, pos, n_heads):
     return x, {"k": ck, "v": cv}
 
 
-def _empty_caches(n_layers, batch, seq_len, d_model, dtype):
+def _empty_caches(n_layers, batch, n_heads, seq_len, d_model, dtype):
+    dh = d_model // n_heads
     return [
-        {"k": jnp.zeros((batch, seq_len, d_model), dtype),
-         "v": jnp.zeros((batch, seq_len, d_model), dtype)}
+        {"k": jnp.zeros((batch, n_heads, seq_len, dh), dtype),
+         "v": jnp.zeros((batch, n_heads, seq_len, dh), dtype)}
         for _ in range(n_layers)
     ]
 
@@ -228,9 +238,9 @@ def txf_lm_apply(p, seq, n_heads, *, dropout_rate=0.1, rng=None,
     return _head_apply(p["out"], p["tok_emb"], x, tied, vocab_out)
 
 
-def txf_lm_state(p, batch, seq_len, dtype=jnp.float32):
+def txf_lm_state(p, batch, seq_len, n_heads, dtype=jnp.float32):
     d = p["tok_emb"].shape[1]
-    return _empty_caches(len(p["txf"]), batch, seq_len, d, dtype)
+    return _empty_caches(len(p["txf"]), batch, n_heads, seq_len, d, dtype)
 
 
 def txf_lm_step_features(p, state, token, pos, n_heads, *,
@@ -359,12 +369,12 @@ def txf_cond_apply(p, z, seq, n_heads, *, dropout_rate=0.1, rng=None,
     return logits
 
 
-def txf_cond_state(p, z, seq_len, dtype=jnp.float32):
+def txf_cond_state(p, z, seq_len, n_heads, dtype=jnp.float32):
     d = p["tok_emb"].shape[1]
     b = z.shape[0]
     return {
         "mem": txf_cond_memory(p, z, dtype),
-        "caches": _empty_caches(len(p["txf"]), b, seq_len, d, dtype),
+        "caches": _empty_caches(len(p["txf"]), b, n_heads, seq_len, d, dtype),
     }
 
 
