@@ -459,10 +459,10 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                     f"{path} has no optimizer state (torch-format "
                     "checkpoint?); resuming weights with a fresh "
                     "optimizer", UserWarning, stacklevel=2)
-                from ark_tpu.train.state import adam_tx
+                from ark_tpu.train.state import _adam_dtypes, adam_tx
                 params = to_device_tree(ckpt["model_state_dict"])
                 state = TrainState(params, adam_tx(
-                    config.get("adam_state_dtype")).init(params))
+                    *_adam_dtypes(config)).init(params))
             else:
                 state = TrainState(
                     to_device_tree(ckpt["model_state_dict"]),

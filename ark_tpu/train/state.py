@@ -27,41 +27,56 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def adam_tx(state_dtype=None):
+def adam_tx(state_dtype=None, m_dtype=None, v_dtype=None):
     """scale_by_adam only; the -lr scaling is applied in the step so lr can
     be a runtime scalar (one compilation for the whole cosine schedule).
 
-    ``state_dtype``: dtype of the STORED Adam moments. Default (None/f32)
+    ``state_dtype``: dtype of BOTH stored Adam moments. Default (None/f32)
     is optax's scale_by_adam — bit-exact with torch Adam semantics, the
     parity configuration. 'bfloat16' keeps mu/nu in bf16 with all moment
     math in f32 (cast on load/store): the optimizer update is HBM-bound
     over the 30M-param embedding (the largest single line in the traced
     wd-articles step, docs/BENCH_NOTES.md) and bf16 moments remove ~29% of
-    its traffic. A perf mode, not bit-identical."""
-    if state_dtype is None or str(state_dtype) == "float32":
+    its traffic. A perf mode, not bit-identical — and measured to COLLAPSE
+    wd-articles validity (docs/ROADMAP.md negative results).
+
+    ``m_dtype`` / ``v_dtype`` (config ``adam_m_dtype`` / ``adam_v_dtype``)
+    isolate the two moments: the round-2 collapse was attributed to bf16
+    second-moment (per-parameter step-size) precision, so a bf16 FIRST
+    moment with an f32 second moment recovers ~14% of the optimizer
+    traffic while keeping exact step sizes — each knob is quality-gated
+    by its own hardware A/B before any default changes. Explicit m/v
+    dtypes override ``state_dtype`` for their moment."""
+    md = m_dtype or state_dtype
+    vd = v_dtype or state_dtype
+    as_dt = lambda d: jnp.dtype(str(d)) if d is not None else jnp.float32
+    md, vd = as_dt(md), as_dt(vd)
+    if md == jnp.float32 and vd == jnp.float32:
         return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-    return _scale_by_adam_cast(0.9, 0.999, 1e-8, jnp.dtype(str(state_dtype)))
+    return _scale_by_adam_cast(0.9, 0.999, 1e-8, md, vd)
 
 
-def _scale_by_adam_cast(b1, b2, eps, dtype):
-    """optax.scale_by_adam semantics with moments stored in ``dtype``."""
+def _scale_by_adam_cast(b1, b2, eps, m_dtype, v_dtype):
+    """optax.scale_by_adam semantics with mu stored in ``m_dtype`` and nu
+    in ``v_dtype`` (all moment math in f32; cast on store)."""
 
     def init(params):
-        z = lambda p: jnp.zeros_like(p, dtype=dtype)
+        zm = lambda p: jnp.zeros_like(p, dtype=m_dtype)
+        zv = lambda p: jnp.zeros_like(p, dtype=v_dtype)
         return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
-                                      mu=jax.tree.map(z, params),
-                                      nu=jax.tree.map(z, params))
+                                      mu=jax.tree.map(zm, params),
+                                      nu=jax.tree.map(zv, params))
 
     def update(grads, state, params=None):
         del params
         f32 = jnp.float32
         mu = jax.tree.map(
             lambda m, g: (b1 * m.astype(f32)
-                          + (1 - b1) * g.astype(f32)).astype(dtype),
+                          + (1 - b1) * g.astype(f32)).astype(m_dtype),
             state.mu, grads)
         nu = jax.tree.map(
             lambda v, g: (b2 * v.astype(f32)
-                          + (1 - b2) * jnp.square(g.astype(f32))).astype(dtype),
+                          + (1 - b2) * jnp.square(g.astype(f32))).astype(v_dtype),
             state.nu, grads)
         count = state.count + 1
         c = count.astype(f32)
@@ -76,13 +91,18 @@ def _scale_by_adam_cast(b1, b2, eps, dtype):
     return optax.GradientTransformation(init, update)
 
 
+def _adam_dtypes(cfg):
+    """(state_dtype, m_dtype, v_dtype) from an experiment config."""
+    if not isinstance(cfg, dict):
+        return None, None, None
+    return (cfg.get("adam_state_dtype"), cfg.get("adam_m_dtype"),
+            cfg.get("adam_v_dtype"))
+
+
 def create_train_state(model, rng) -> TrainState:
     params = model.init(rng)
-    state_dtype = None
-    cfg = getattr(model, "config", None)
-    if isinstance(cfg, dict):
-        state_dtype = cfg.get("adam_state_dtype")
-    opt_state = adam_tx(state_dtype).init(params)
+    opt_state = adam_tx(*_adam_dtypes(getattr(model, "config", None))
+                        ).init(params)
     return TrainState(params=params, opt_state=opt_state)
 
 

@@ -177,7 +177,8 @@ def _make_adam_apply(config, mesh):
     the optax path — GSPMD owns their partitioning). Both paths are
     bit-identical (tests/test_pallas_adam.py)."""
     cfg = config or {}
-    tx = adam_tx(cfg.get("adam_state_dtype"))
+    from ark_tpu.train.state import _adam_dtypes
+    tx = adam_tx(*_adam_dtypes(cfg))
     # DEFAULT OFF: the fused Pallas optimizer measured SLOWER than XLA's
     # lowering of the optax path (2401 vs 4116 graphs/s on the wd-articles
     # bench config) and is not bit-identical on hardware (Mosaic contracts
@@ -187,7 +188,8 @@ def _make_adam_apply(config, mesh):
     mode = cfg.get("use_fused_adam", False)
     # safety conditions for the Pallas kernel: GSPMD owns sharded states,
     # and the kernel's f32 moments can't carry a bf16 moment dtype
-    fused_ok = mesh is None and not cfg.get("adam_state_dtype")
+    fused_ok = (mesh is None and not cfg.get("adam_state_dtype")
+                and not cfg.get("adam_m_dtype") and not cfg.get("adam_v_dtype"))
     fused = bool(mode) and fused_ok
     # test-only interpret mode (CPU) rides the SAME safety conditions and
     # never overrides an explicit 'xla' selection — previously it forced

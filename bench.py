@@ -149,6 +149,15 @@ def build_setup():
     _adam = os.environ.get("ARK_TPU_BENCH_ADAM_DTYPE", "")
     if _adam:
         cfg["adam_state_dtype"] = _adam
+    # per-moment isolation knobs (round 5): bf16 mu keeps exact f32 step
+    # sizes (the round-2 bf16-BOTH-moments quality collapse was attributed
+    # to nu); each is quality-gated by its own 15-epoch validity run
+    _madam = os.environ.get("ARK_TPU_BENCH_ADAM_M_DTYPE", "")
+    if _madam:
+        cfg["adam_m_dtype"] = _madam
+    _vadam = os.environ.get("ARK_TPU_BENCH_ADAM_V_DTYPE", "")
+    if _vadam:
+        cfg["adam_v_dtype"] = _vadam
     _fadam = os.environ.get("ARK_TPU_BENCH_FADAM", "")
     if _fadam:
         # "1"/"0" toggle the Pallas kernel; "xla" selects the one-tree_map

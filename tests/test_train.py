@@ -168,6 +168,23 @@ def test_bf16_adam_moments_track_f32(small_datasets):
     assert s32.opt_state.mu["tok_emb"].dtype == jnp.float32
     np.testing.assert_allclose(l16, l32, rtol=0.02, atol=0.02)
 
+    # per-moment isolation knobs (round-5: the round-2 bf16 BOTH-moments
+    # quality collapse was attributed to the SECOND moment; adam_m_dtype
+    # halves the first-moment traffic while keeping exact f32 step sizes)
+    lm16, sm16 = run(dict(base, adam_m_dtype="bfloat16"))
+    assert sm16.opt_state.mu["tok_emb"].dtype == jnp.bfloat16
+    assert sm16.opt_state.nu["tok_emb"].dtype == jnp.float32
+    np.testing.assert_allclose(lm16, l32, rtol=0.02, atol=0.02)
+    lv16, sv16 = run(dict(base, adam_v_dtype="bfloat16"))
+    assert sv16.opt_state.mu["tok_emb"].dtype == jnp.float32
+    assert sv16.opt_state.nu["tok_emb"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(lv16, l32, rtol=0.02, atol=0.02)
+    # explicit m/v dtypes override state_dtype for their moment
+    _, sb = run(dict(base, adam_state_dtype="bfloat16",
+                     adam_v_dtype="float32"))
+    assert sb.opt_state.mu["tok_emb"].dtype == jnp.bfloat16
+    assert sb.opt_state.nu["tok_emb"].dtype == jnp.float32
+
 
 def test_bench_flops_model_sanity():
     """bench.py's analytic FLOPs helpers (round-3 VERDICT item 3): the
