@@ -48,9 +48,15 @@ def eval_row_cap(config, layout, seq, w, device_mesh):
 
 def evaluate_checkpoint(ckpt_path: str, split: str = "validation",
                         num_samples: int | None = None, seed: int = 0,
-                        mesh: str = "auto") -> dict:
+                        mesh: str = "auto",
+                        overrides: dict | None = None) -> dict:
     ckpt = load_checkpoint(ckpt_path)
     config = dict(ckpt["config"])
+    # config overrides (e.g. sampler perf knobs) — the hardware-A/B hook:
+    # evaluate the SAME checkpoint under two sampler configurations and
+    # compare validity (the quality gate for distribution-affecting knobs
+    # like fused_sample_dtype=bfloat16; docs/BENCH_NOTES.md)
+    config.update(overrides or {})
 
     # multi-device evaluation: batch over 'data' (same auto-mesh policy as
     # the trainer; eval loss, compression and sampling all ride it). The
@@ -151,7 +157,20 @@ def main(argv=None):
     parser.add_argument("--mesh", default="auto", choices=["auto", "off"],
                         help="shard evaluation over all local devices "
                              "(auto, when >1 attached and batch divides)")
+    parser.add_argument("--override", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="config override (repeatable), e.g. "
+                             "--override fused_sample_dtype=bfloat16 — "
+                             "values parse as YAML scalars (ints/floats/"
+                             "bools/strings)")
     args = parser.parse_args(argv)
+    import yaml
+    overrides = {}
+    for kv in args.override:
+        key, sep, val = kv.partition("=")
+        if not sep:
+            parser.error(f"--override expects KEY=VALUE, got {kv!r}")
+        overrides[key] = yaml.safe_load(val)
     # multi-host launch contract (same as the trainer's): ARK_TPU_* env
     # vars; after this the auto-mesh spans all hosts
     from ark_tpu.parallel import multihost as mh
@@ -161,7 +180,9 @@ def main(argv=None):
     acquire_device_lock(tag="evaluate")
     out = evaluate_checkpoint(args.checkpoint, split=args.split,
                               num_samples=args.num_samples, seed=args.seed,
-                              mesh=args.mesh)
+                              mesh=args.mesh, overrides=overrides)
+    if overrides:
+        out["overrides"] = overrides
     if mh.is_primary():
         print(json.dumps(out))
     return out
