@@ -234,6 +234,18 @@ def _measure_sampling(cfg, layout, model, state, train_gps, train_tflops,
     import jax
     import jax.numpy as jnp
 
+    # train-side A/B runs (optimizer dtype knobs) skip the sampling
+    # measurement — the big-vocab sampler compile costs minutes through
+    # the tunnel and its number is unaffected by train-only knobs
+    if os.environ.get("ARK_TPU_BENCH_SKIP_SAMPLE", "0") == "1":
+        log("[bench] ARK_TPU_BENCH_SKIP_SAMPLE=1: skipping sample "
+            "measurement")
+        perf = {"train_tflops": round(train_tflops, 1),
+                "train_mfu": round(train_mfu, 3),
+                "sample_tflops": 0.0, "sample_mfu": 0.0,
+                "peak_tflops": PEAK_TFLOPS}
+        return train_gps, 0.0, 0.0, perf
+
     # optional reduced-precision decode path (params stay f32)
     sample_dtype = os.environ.get("ARK_TPU_BENCH_SAMPLE_DTYPE", "")
     scfg = dict(cfg, sample_chunk=SAMPLE_BATCH)
