@@ -109,7 +109,7 @@ def _pad8(table):
     return jnp.pad(table, ((0, 8 - v), (0, 0))), 8
 
 
-def _dma_kernel(ids_ref, tbl_ref, out_ref, scr, sems, *, v):
+def _dma_kernel(ids_ref, tbl_ref, idv_ref, out_ref, scr, sems, *, v):
     i = pl.program_id(0)
     g = out_ref.shape[0]
 
@@ -121,13 +121,19 @@ def _dma_kernel(ids_ref, tbl_ref, out_ref, scr, sems, *, v):
     jax.lax.fori_loop(0, g, lambda k, c: (copy(k).start(), c)[1], 0)
     jax.lax.fori_loop(0, g, lambda k, c: (copy(k).wait(), c)[1], 0)
     # in-register row select: one-hot over the 8 fetched rows per token
-    # (sub-tile HBM slices are illegal; see module docstring)
-    rows = ids_ref[pl.ds(i * g, g)]
+    # (sub-tile HBM slices are illegal; see module docstring). The ids
+    # come in TWICE — scalar-prefetch SMEM for the DMA bases above (SMEM
+    # allows only scalar loads — the round-5 hardware A/B) and a VMEM
+    # block here for the vectorized offset compute.
+    rows = idv_ref[...][:, 0]
     off = rows - _aligned_base(rows, v)  # [g] in [0, 8)
     onehot = (off[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (g, 8), 1)).astype(scr.dtype)
-    out_ref[...] = jnp.einsum("ke,ked->kd", onehot, scr[...],
-                              preferred_element_type=scr.dtype)
+    # broadcast-mul + sublane sum, NOT a dot: Mosaic cannot lower the
+    # batched [g,8]x[g,8,d] contraction (TPU_DotDimensionNumbersAttr
+    # parse error, the round-5 hardware A/B) and the 8-way reduce is
+    # VPU work anyway
+    out_ref[...] = jnp.sum(onehot[:, :, None] * scr[...], axis=1)
 
 
 def _gather_dma(table, ids):
@@ -141,13 +147,14 @@ def _gather_dma(table, ids):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pad // GCHUNK,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec((GCHUNK, 1), lambda i, ids: (i, 0))],
             out_specs=pl.BlockSpec((GCHUNK, d), lambda i, ids: (i, 0)),
             scratch_shapes=[pltpu.VMEM((GCHUNK, 8, d), table.dtype),
                             pltpu.SemaphoreType.DMA((GCHUNK,))],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), table.dtype),
-    )(ids_p, table)
+    )(ids_p, table, ids_p[:, None])
     return out[:n] if n_pad != n else out
 
 
@@ -209,8 +216,8 @@ def _triples_block(e_emb, r_emb, h, r, t):
     )(h, r, t, e_emb, r_emb, e_emb)
 
 
-def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, out_ref, scr,
-                       sems, *, ne, nr):
+def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, hrt_ref, out_ref,
+                       scr, sems, *, ne, nr):
     i = pl.program_id(0)
     g = out_ref.shape[0]
     d = e_ref.shape[1]
@@ -242,17 +249,20 @@ def _triple_dma_kernel(h_ref, r_ref, t_ref, e_ref, re_ref, out_ref, scr,
     jax.lax.fori_loop(0, g, start, 0)
     jax.lax.fori_loop(0, g, wait, 0)
 
-    def select(slot, ids_ref, v):
-        rows = ids_ref[pl.ds(i * g, g)]
+    def select(slot, v):
+        # ids arrive twice: SMEM scalars for the DMA bases, a VMEM
+        # [g, 3] block here for the vectorized offset compute
+        rows = hrt_ref[...][:, slot]
         off = rows - _aligned_base(rows, v)
         onehot = (off[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (g, 8), 1)).astype(scr.dtype)
-        return jnp.einsum("ke,ked->kd", onehot, scr[slot],
-                          preferred_element_type=scr.dtype)
+        # mul + sublane sum (see _dma_kernel: Mosaic rejects the
+        # batched dot form)
+        return jnp.sum(onehot[:, :, None] * scr[slot], axis=1)
 
-    out_ref[:, 0:d] = select(0, h_ref, ne)
-    out_ref[:, d:2 * d] = select(1, r_ref, nr)
-    out_ref[:, 2 * d:3 * d] = select(2, t_ref, ne)
+    out_ref[:, 0:d] = select(0, ne)
+    out_ref[:, d:2 * d] = select(1, nr)
+    out_ref[:, 2 * d:3 * d] = select(2, ne)
 
 
 def _triples_dma(e_emb, r_emb, h, r, t):
@@ -270,13 +280,14 @@ def _triples_dma(e_emb, r_emb, h, r, t):
             num_scalar_prefetch=3,
             grid=(n_pad // GCHUNK,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec((GCHUNK, 3), lambda i, h, r, t: (i, 0))],
             out_specs=pl.BlockSpec((GCHUNK, 3 * d), lambda i, h, r, t: (i, 0)),
             scratch_shapes=[pltpu.VMEM((3, GCHUNK, 8, d), e_emb.dtype),
                             pltpu.SemaphoreType.DMA((3, GCHUNK))],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3 * d), e_emb.dtype),
-    )(h, r, t, e_emb, r_emb)
+    )(h, r, t, e_emb, r_emb, jnp.stack([h, r, t], axis=-1))
     return out[:n] if n_pad != n else out
 
 

@@ -54,11 +54,19 @@ bench_item /tmp/r5_embed_ab.json timeout 3600 python scripts/bench_embed_gather.
 bench_item /tmp/r5_bench_ark.json timeout 3600 python bench.py
 archive; log "stage A done"
 
+# ---- Stage A2: t-ARK sampler levers (the KV-layout fix measured +0.9% —
+# refuted as THE gap; these probe arithmetic intensity + bf16 activations) --
+bench_item /tmp/r5_bench_tark_1024.json timeout 5400 env ARK_TPU_BENCH_MODEL=t-ARK ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_BATCH=1024 python bench.py
+bench_item /tmp/r5_bench_tark_bf16act.json timeout 5400 env ARK_TPU_BENCH_MODEL=t-ARK ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_DTYPE=bfloat16 python bench.py
+bench_item /tmp/r5_bench_tark_1024_bf16.json timeout 5400 env ARK_TPU_BENCH_MODEL=t-ARK ARK_TPU_BENCH_SKIP_TRAIN=1 ARK_TPU_BENCH_SAMPLE_BATCH=1024 ARK_TPU_BENCH_SAMPLE_DTYPE=bfloat16 python bench.py
+archive; log "stage A2 done"
+
 # ---- Stage B: optimizer-moment dtype A/Bs (train side only) ----------------
 bench_item /tmp/r5_bench_adam_m_bf16.json timeout 3600 env ARK_TPU_BENCH_SKIP_SAMPLE=1 ARK_TPU_BENCH_ADAM_M_DTYPE=bfloat16 python bench.py
 bench_item /tmp/r5_bench_adam_v_bf16.json timeout 3600 env ARK_TPU_BENCH_SKIP_SAMPLE=1 ARK_TPU_BENCH_ADAM_V_DTYPE=bfloat16 python bench.py
 bench_item /tmp/r5_bench_adam_mv_bf16.json timeout 3600 env ARK_TPU_BENCH_SKIP_SAMPLE=1 ARK_TPU_BENCH_ADAM_DTYPE=bfloat16 python bench.py
 bench_item /tmp/r5_bench_train_ctl.json timeout 3600 env ARK_TPU_BENCH_SKIP_SAMPLE=1 python bench.py
+bench_item /tmp/r5_bench_fadam_xla.json timeout 3600 env ARK_TPU_BENCH_SKIP_SAMPLE=1 ARK_TPU_BENCH_FADAM=xla python bench.py
 archive; log "stage B done"
 
 # ---- Stage C: wd-articles track_best_validity + bf16-sampler gate ----------
