@@ -115,6 +115,18 @@ def supported(b, d, v, vblock=None):
     return b % 8 == 0 and d % 128 == 0 and vb > 0 and v % vb == 0
 
 
+def default_geometry(v, mm_dtype):
+    """Measured-fastest default (vblock, rowchunk) for the head dtype.
+
+    Round-5 hardware A/B (runs_r5/ab/TABLE.md): the 2048-wide vocab tile
+    is 1.040x the round-2 (1024, 512) geometry but only fits VMEM with
+    the bf16-streamed head at rowchunk 256 — f32 at 2048 OOMs and
+    (2048, 128) craters to 0.64x, so f32 keeps (pick_vblock, 512)."""
+    if jnp.dtype(mm_dtype) == jnp.dtype(jnp.bfloat16) and v % 2048 == 0:
+        return 2048, 256
+    return pick_vblock(v), ROWCHUNK
+
+
 def _block_logits(y_ref, w_ref, b_ref, inv_temp, j, v_true, ofs=0):
     """``ofs``: this call's GLOBAL column offset — 0 for a full-vocab call;
     axis_index('model') * V_shard when the head is vocab-sharded and each
@@ -562,8 +574,9 @@ def fused_top_p_sample(y, w, b, seed, top_p, *, v_true=None, temperature=1.0,
             f"strategy must be 'gumbel', 'expmin' or 'cdf', got {strategy!r}")
     n = y.shape[0]
     v_true = v_true or w.shape[0]
-    vblock = vblock if vblock else pick_vblock(w.shape[0])
-    rowchunk = int(rowchunk) if rowchunk else ROWCHUNK
+    dvb, drc = default_geometry(w.shape[0], mm_dtype)
+    vblock = vblock if vblock else dvb
+    rowchunk = int(rowchunk) if rowchunk else drc
     _check_tile_and_temp(vblock, w.shape[0], temperature)
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)
@@ -687,8 +700,9 @@ def fused_top_p_sample_sharded(y, w, b, seed, top_p, *, v_true,
             f"strategy must be 'gumbel', 'expmin' or 'cdf', got {strategy!r}")
     n = y.shape[0]
     v_shard = w.shape[0]
-    vblock = vblock if vblock else pick_vblock(v_shard)
-    rowchunk = int(rowchunk) if rowchunk else ROWCHUNK
+    dvb, drc = default_geometry(v_shard, mm_dtype)
+    vblock = vblock if vblock else dvb
+    rowchunk = int(rowchunk) if rowchunk else drc
     _check_tile_and_temp(vblock, v_shard, temperature)
     inv_temp = (1.0 / float(temperature)) if temperature else 1.0
     y = y.astype(jnp.float32)

@@ -285,6 +285,14 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
         fused = jax.default_backend() not in ("cpu",)
     if fused_strategy == "auto":
         fused_strategy = "gumbel"
+    if fused_mm_dtype is None and jax.default_backend() not in ("cpu",):
+        # round-5 measured + validity-gated default: the bf16-streamed
+        # head unlocks the 2048 vocab tile (1.040x sampling; validity
+        # 77.8% vs 77.0% f32 on the same 40-epoch checkpoint —
+        # runs_r5/ab/TABLE.md). CPU/interpret stays f32, the parity
+        # dtype; set fused_sample_dtype: float32 to force exact-f32
+        # sampling on TPU.
+        fused_mm_dtype = "bfloat16"
     if fused_mm_dtype is not None and jnp.dtype(fused_mm_dtype) not in (
             jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         raise ValueError("fused_mm_dtype must be float32 or bfloat16, got "
