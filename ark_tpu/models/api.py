@@ -184,10 +184,10 @@ def build_model(config: dict, mesh=None) -> Model:
             return decoders.txf_lm_state(params, batch, seq_len, n_heads,
                                          dtype)
 
-        def decode_step(params, state, token, pos):
+        def decode_step(params, state, token, pos, window=None):
             return decoders.txf_lm_step(params, state, token, pos, n_heads,
                                         tied=tied, dtype=dtype,
-                                        vocab_out=vocab_size)
+                                        vocab_out=vocab_size, window=window)
 
         features = head = None
         if tied:
@@ -200,9 +200,10 @@ def build_model(config: dict, mesh=None) -> Model:
             def head(params):
                 return params["tok_emb"], params["out"]["b"]
 
-        def decode_step_features(params, state, token, pos):
+        def decode_step_features(params, state, token, pos, window=None):
             return decoders.txf_lm_step_features(params, state, token, pos,
-                                                 n_heads, dtype=dtype)
+                                                 n_heads, dtype=dtype,
+                                                 window=window)
 
         return Model(config, "lm", "txf", init, apply, decode_state,
                      decode_step, features=features, head=head,
@@ -306,10 +307,10 @@ def build_model(config: dict, mesh=None) -> Model:
         return decoders.txf_cond_state(params["dec"], z, seq_len, n_heads,
                                        dtype)
 
-    def decode_step(params, state, token, pos):
+    def decode_step(params, state, token, pos, window=None):
         return decoders.txf_cond_step(params["dec"], state, token, pos,
                                       n_heads, dtype=dtype,
-                                      vocab_out=vocab_size)
+                                      vocab_out=vocab_size, window=window)
 
     def features(params, triples, seq, rng=None, deterministic=True):
         k_enc, k_dec = jax.random.split(rng)
@@ -326,9 +327,10 @@ def build_model(config: dict, mesh=None) -> Model:
         # models.py:98-114); transpose [D, Vp] -> embedding layout [Vp, D]
         return params["dec"]["out"]["w"].T, params["dec"]["out"]["b"]
 
-    def decode_step_features(params, state, token, pos):
+    def decode_step_features(params, state, token, pos, window=None):
         return decoders.txf_cond_step_features(params["dec"], state, token,
-                                               pos, n_heads, dtype=dtype)
+                                               pos, n_heads, dtype=dtype,
+                                               window=window)
 
     return Model(config, "vae", "txf", init, apply, decode_state, decode_step,
                  encode=encode, features=features, head=head,

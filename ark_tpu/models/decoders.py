@@ -71,7 +71,7 @@ def _head_apply(p_head, tok_emb, y, tied, vocab_out=None):
 # Incremental MHA with KV cache (for transformer sampling steps)
 # ---------------------------------------------------------------------------
 
-def _mha_step(p, x_t, cache_k, cache_v, pos, n_heads):
+def _mha_step(p, x_t, cache_k, cache_v, pos, n_heads, window=None):
     """x_t [B, 1, D]; cache_k/v [B, H, L, dh] — head-major, the TPU-native
     KV layout: the per-step attention einsums read the caches directly, so
     no [B, L, D] <-> [B, H, L, dh] transpose materializes a full-cache copy
@@ -81,7 +81,16 @@ def _mha_step(p, x_t, cache_k, cache_v, pos, n_heads):
 
     Writes the new k/v at ``pos`` and attends the single query over
     cache[..., : pos+1, :] (masked beyond pos). Returns
-    (out [B, 1, D], new caches)."""
+    (out [B, 1, D], new caches).
+
+    ``window``: optional STATIC prefix length — attend over only the first
+    ``window`` cache slots. The caller guarantees pos < window (the
+    sampler's segmented token scan, sample/samplers.py). Bitwise-exact vs
+    the full read: every removed key was masked to -1e30, whose exp
+    underflows to 0.0 exactly, so softmax sums and the probs @ V
+    contraction are unchanged — this is pure HBM strength reduction (the
+    round-5 t-ARK trace showed the per-step full-cache read rivaling the
+    streamed head, docs/BENCH_NOTES.md)."""
     d = x_t.shape[-1]
     bsz = x_t.shape[0]
     dh = d // n_heads
@@ -99,21 +108,27 @@ def _mha_step(p, x_t, cache_k, cache_v, pos, n_heads):
     cache_k = jax.lax.dynamic_update_slice(cache_k, kh_t, (0, 0, pos, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, vh_t, (0, 0, pos, 0))
 
+    win = L if window is None else min(int(window), L)
+    ck = (cache_k if win == L
+          else jax.lax.slice_in_dim(cache_k, 0, win, axis=2))
+    cv = (cache_v if win == L
+          else jax.lax.slice_in_dim(cache_v, 0, win, axis=2))
     qh = q.reshape(bsz, 1, n_heads, dh).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, cache_k,
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, ck,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.asarray(dh, jnp.float32))
-    valid = jnp.arange(L)[None, None, None, :] <= pos
+    valid = jnp.arange(win)[None, None, None, :] <= pos
     scores = jnp.where(valid, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, cache_v,
+    probs = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, cv,
                      preferred_element_type=jnp.float32).astype(x_t.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(bsz, 1, d)
     return linear(p["out_proj"], out), cache_k, cache_v
 
 
-def _encoder_layer_step(p, x_t, cache, pos, n_heads):
-    a, ck, cv = _mha_step(p["self_attn"], x_t, cache["k"], cache["v"], pos, n_heads)
+def _encoder_layer_step(p, x_t, cache, pos, n_heads, window=None):
+    a, ck, cv = _mha_step(p["self_attn"], x_t, cache["k"], cache["v"], pos,
+                          n_heads, window=window)
     x = layer_norm(p["norm1"], x_t + a)
     h = jax.nn.relu(linear(p["linear1"], x))
     h = linear(p["linear2"], h)
@@ -121,8 +136,9 @@ def _encoder_layer_step(p, x_t, cache, pos, n_heads):
     return x, {"k": ck, "v": cv}
 
 
-def _decoder_layer_step(p, x_t, memory, cache, pos, n_heads):
-    a, ck, cv = _mha_step(p["self_attn"], x_t, cache["k"], cache["v"], pos, n_heads)
+def _decoder_layer_step(p, x_t, memory, cache, pos, n_heads, window=None):
+    a, ck, cv = _mha_step(p["self_attn"], x_t, cache["k"], cache["v"], pos,
+                          n_heads, window=window)
     x = layer_norm(p["norm1"], x_t + a)
     c = mha(p["cross_attn"], x, memory, n_heads)
     x = layer_norm(p["norm2"], x + c)
@@ -244,19 +260,20 @@ def txf_lm_state(p, batch, seq_len, n_heads, dtype=jnp.float32):
 
 
 def txf_lm_step_features(p, state, token, pos, n_heads, *,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, window=None):
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)[:, None, :]
     new_state = []
     for lp, cache in zip(p["txf"], state):
-        x, cache = _encoder_layer_step(lp, x, cache, pos, n_heads)
+        x, cache = _encoder_layer_step(lp, x, cache, pos, n_heads,
+                                       window=window)
         new_state.append(cache)
     return x[:, 0, :], new_state
 
 
 def txf_lm_step(p, state, token, pos, n_heads, *, tied=True,
-                dtype=jnp.float32, vocab_out=None):
+                dtype=jnp.float32, vocab_out=None, window=None):
     y, new_state = txf_lm_step_features(p, state, token, pos, n_heads,
-                                        dtype=dtype)
+                                        dtype=dtype, window=window)
     logits = _head_apply(p["out"], p["tok_emb"], y, tied, vocab_out)
     return logits, new_state
 
@@ -379,19 +396,20 @@ def txf_cond_state(p, z, seq_len, n_heads, dtype=jnp.float32):
 
 
 def txf_cond_step_features(p, state, token, pos, n_heads, *,
-                           dtype=jnp.float32):
+                           dtype=jnp.float32, window=None):
     x = (p["tok_emb"][token] + p["pos_emb"][pos]).astype(dtype)[:, None, :]
     new_caches = []
     for lp, cache in zip(p["txf"], state["caches"]):
-        x, cache = _decoder_layer_step(lp, x, state["mem"], cache, pos, n_heads)
+        x, cache = _decoder_layer_step(lp, x, state["mem"], cache, pos,
+                                       n_heads, window=window)
         new_caches.append(cache)
     return x[:, 0, :], {"mem": state["mem"], "caches": new_caches}
 
 
 def txf_cond_step(p, state, token, pos, n_heads, *, dtype=jnp.float32,
-                  vocab_out=None):
+                  vocab_out=None, window=None):
     y, state = txf_cond_step_features(p, state, token, pos, n_heads,
-                                      dtype=dtype)
+                                      dtype=dtype, window=window)
     logits = linear(p["out"], y)
     if vocab_out is not None and logits.shape[-1] != vocab_out:
         logits = logits[..., :vocab_out]

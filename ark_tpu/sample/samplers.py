@@ -194,6 +194,31 @@ def _force(logits, pos_idx, forced):
     return logits
 
 
+def _window_segments(n_steps, cache_len, n_seg):
+    """Split a ``n_steps``-token decode scan into <= ``n_seg`` contiguous
+    segments [(start, stop, window)]: steps in [start, stop) attend over
+    the first ``window`` KV-cache slots (window >= stop, so every masked
+    key the segment can touch is inside the slice). Boundaries and windows
+    round up to 16 (the bf16 sublane tile on the cache's L axis). Returns
+    None when a single full-window segment results (nothing to win)."""
+    n_seg = max(1, min(int(n_seg), (n_steps + 15) // 16))
+    segs, start = [], 0
+    for i in range(n_seg):
+        if i == n_seg - 1:
+            stop = n_steps
+        else:
+            stop = min(n_steps,
+                       ((n_steps * (i + 1) + n_seg - 1) // n_seg + 15)
+                       // 16 * 16)
+        if stop <= start:
+            continue
+        segs.append((start, stop, min(cache_len, (stop + 15) // 16 * 16)))
+        start = stop
+    if len(segs) <= 1:
+        return None
+    return segs
+
+
 def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                  top_p=0.0, forced=(), mesh=None, fused="auto",
                  fused_strategy="auto", shard_vocab=False,
@@ -246,6 +271,13 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     residual keep-last-candidate bias budget is (1-top_p)^(k*max_rounds),
     so k >= 2 keeps it <= ~1e-8 at the 0.9 default; same distribution
     otherwise, different RNG stream than k=4.
+
+    Transformer decoders additionally read ``attn_window_segments`` from
+    the model config ('auto' default = 3): the token scan is split into
+    that many segments, each attending over a statically-sliced KV-cache
+    prefix — token-exact vs the full-cache read (decoders._mha_step), it
+    only removes the HBM traffic of keys the causal mask zeroes. 0/1
+    disables.
 
     ``shard_vocab``: the head params are vocab-sharded over the mesh's
     'model' axis (parallel/mesh.param_shardings). The fused kernel then
@@ -307,6 +339,21 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
         fused and sample and top_p and 0.0 < top_p < 1.0 and not top_k
         and model.decode_step_features is not None
         and model.head is not None and layout.vocab_size > 4096)
+
+    # Prefix-windowed attention for transformer decode (exact — see
+    # decoders._mha_step): segment the token scan so early tokens read a
+    # statically smaller KV-cache slice instead of the full padded cache
+    # the mask will zero anyway. At the wd-articles geometry the full
+    # [B, H, L, dh] read per step per layer rivals the streamed head
+    # (round-5 t-ARK trace, docs/BENCH_NOTES.md); 3 segments cut that
+    # traffic ~33%. Config `attn_window_segments`: 'auto' (3 for txf
+    # decoders), 0/1 = off, N = that many segments.
+    n_seg = (getattr(model, "config", None) or {}).get(
+        "attn_window_segments", "auto")
+    if n_seg == "auto":
+        n_seg = 3 if getattr(model, "decoder_arch", None) == "txf" else 1
+    attn_segments = _window_segments(L - 1, L, int(n_seg)) \
+        if getattr(model, "decoder_arch", None) == "txf" else None
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -433,47 +480,72 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
                             y, w_head, b_head, seed)
                 return fused_top_p_sample(y, w_head, b_head, seed, **common)
 
-        def body(carry, t):
-            state, token, finished, rng = carry
-            rng, k = jax.random.split(rng)
-            if use_fused:
-                # Pallas fused logits + nucleus sampling: never materializes
-                # the [B, V] logits
-                y, state = model.decode_step_features(params, state, token, t)
-                state = _pin(state)
-                nxt = fused_draw(y.astype(jnp.float32), k)
-                # forced positions: overriding the sampled token is exactly
-                # the one-hot(-inf elsewhere) logits mask of _force — the
-                # forced token has probability 1 either way (the conditioned
-                # generation mechanism, reference conditioned.py:73-76)
-                for position, token_id in forced:
-                    nxt = jnp.where(t + 1 == position, jnp.int32(token_id),
-                                    nxt)
-            else:
-                logits, state = model.decode_step(params, state, token, t)
-                state = _pin(state)
-                logits = _force(logits.astype(jnp.float32), t + 1, forced)
-                if sample:
-                    scaled = (logits / float(temperature)
-                              if temperature and temperature != 1.0 else logits)
-                    if (top_p and 0.0 < top_p < 1.0 and not top_k
-                            and logits.shape[-1] > 4096):
-                        # sort-free exact nucleus sampling (big-vocab path)
-                        nxt = sample_top_p_rejection(k, scaled, float(top_p))
-                    else:
-                        probs = process_logits(logits, temperature, top_k, top_p)
-                        nxt = jax.random.categorical(
-                            k, jnp.log(jnp.clip(probs, 1e-30, None)))
+        def make_body(window):
+            # ``window`` is a STATIC per-segment KV-cache prefix length
+            # (None = full cache; always None for non-transformer decoders)
+            win_kw = {} if window is None else {"window": int(window)}
+
+            def body(carry, t):
+                state, token, finished, rng = carry
+                rng, k = jax.random.split(rng)
+                if use_fused:
+                    # Pallas fused logits + nucleus sampling: never
+                    # materializes the [B, V] logits
+                    y, state = model.decode_step_features(params, state,
+                                                          token, t, **win_kw)
+                    state = _pin(state)
+                    nxt = fused_draw(y.astype(jnp.float32), k)
+                    # forced positions: overriding the sampled token is
+                    # exactly the one-hot(-inf elsewhere) logits mask of
+                    # _force — the forced token has probability 1 either way
+                    # (the conditioned generation mechanism, reference
+                    # conditioned.py:73-76)
+                    for position, token_id in forced:
+                        nxt = jnp.where(t + 1 == position,
+                                        jnp.int32(token_id), nxt)
                 else:
-                    nxt = jnp.argmax(logits, axis=-1)
-            nxt = _pin(jnp.where(finished, eos, nxt).astype(jnp.int32))
-            finished = finished | (nxt == eos)
-            return (state, nxt, finished, rng), nxt
+                    logits, state = model.decode_step(params, state, token,
+                                                      t, **win_kw)
+                    state = _pin(state)
+                    logits = _force(logits.astype(jnp.float32), t + 1, forced)
+                    if sample:
+                        scaled = (logits / float(temperature)
+                                  if temperature and temperature != 1.0
+                                  else logits)
+                        if (top_p and 0.0 < top_p < 1.0 and not top_k
+                                and logits.shape[-1] > 4096):
+                            # sort-free exact nucleus sampling (big-vocab)
+                            nxt = sample_top_p_rejection(k, scaled,
+                                                         float(top_p))
+                        else:
+                            probs = process_logits(logits, temperature,
+                                                   top_k, top_p)
+                            nxt = jax.random.categorical(
+                                k, jnp.log(jnp.clip(probs, 1e-30, None)))
+                    else:
+                        nxt = jnp.argmax(logits, axis=-1)
+                nxt = _pin(jnp.where(finished, eos, nxt).astype(jnp.int32))
+                finished = finished | (nxt == eos)
+                return (state, nxt, finished, rng), nxt
+
+            return body
 
         token0 = _pin(jnp.full((batch,), bos, jnp.int32))
         finished0 = _pin(jnp.zeros((batch,), bool))
-        (_, _, _, _), toks = jax.lax.scan(
-            body, (_pin(state), token0, finished0, rng), jnp.arange(L - 1))
+        carry = (_pin(state), token0, finished0, rng)
+        if attn_segments is None:
+            (_, _, _, _), toks = jax.lax.scan(make_body(None), carry,
+                                              jnp.arange(L - 1))
+        else:
+            # segmented scan: same body math, same rng chain (one split per
+            # step regardless of segmentation) — tokens are bitwise the
+            # single-scan path's (tests/test_sampling.py)
+            parts = []
+            for start, stop, win in attn_segments:
+                carry, tp = jax.lax.scan(make_body(win), carry,
+                                         jnp.arange(start, stop))
+                parts.append(tp)
+            toks = jnp.concatenate(parts, axis=0)
         seq = _pin(jnp.concatenate([token0[:, None], toks.T], axis=1))
         return seq
 

@@ -459,14 +459,23 @@ def run_training(config: dict, checkpoint_dir: str, run) -> dict:
                     f"{path} has no optimizer state (torch-format "
                     "checkpoint?); resuming weights with a fresh "
                     "optimizer", UserWarning, stacklevel=2)
-                from ark_tpu.train.state import _adam_dtypes, adam_tx
+                from ark_tpu.train.state import adam_tx, resolve_adam_dtypes
                 params = to_device_tree(ckpt["model_state_dict"])
                 state = TrainState(params, adam_tx(
-                    *_adam_dtypes(config)).init(params))
+                    None, *resolve_adam_dtypes(config)).init(params))
             else:
-                state = TrainState(
-                    to_device_tree(ckpt["model_state_dict"]),
+                from ark_tpu.train.state import adam_tx, resolve_adam_dtypes
+                params = to_device_tree(ckpt["model_state_dict"])
+                # moment dtypes follow THIS run's resolved config, not the
+                # checkpoint's (the TPU auto bf16-m default means a ckpt
+                # written on one backend may carry different moment dtypes
+                # than this backend resolves to; the epoch scan's carry
+                # dtype must match the optimizer's stored dtype)
+                tmpl = adam_tx(None, *resolve_adam_dtypes(config)).init(params)
+                opt = jax.tree.map(
+                    lambda t, x: jnp.asarray(x, t.dtype), tmpl,
                     to_device_tree(ckpt["optimizer_state_dict"]))
+                state = TrainState(params, opt)
             # bare torch state_dicts may carry no epoch (torch_interop
             # fills None) — resume from 0 rather than int(None) crashing
             start_epoch = int(ckpt.get("epoch") or 0)

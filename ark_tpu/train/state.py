@@ -99,10 +99,35 @@ def _adam_dtypes(cfg):
             cfg.get("adam_v_dtype"))
 
 
+def resolve_adam_dtypes(cfg):
+    """Concrete (m_dtype, v_dtype) for an experiment config.
+
+    Applies the round-5 measured + validity-gated TPU default: when no
+    Adam dtype knob is set, the FIRST moment is stored in bfloat16 on
+    accelerator backends (+7.4% train throughput on the wd-articles
+    headline config; the 15-epoch validity gate held the f32 line at
+    96.9% vs 96.5%/95.0% f32 controls — runs_r5/ab/TABLE.md stage E).
+    The second moment (per-parameter step size, the round-2 collapse
+    attribution) always stays f32 unless explicitly overridden. CPU keeps
+    f32 moments — the torch-Adam bit-parity configuration — and an
+    explicit ``adam_m_dtype: float32`` forces it on TPU. ``use_fused_adam``
+    also suppresses the auto default (the Pallas/XLA fused optimizer A/B
+    paths carry f32 moments)."""
+    state, m, v = _adam_dtypes(cfg)
+    md = m or state
+    vd = v or state
+    if (md is None and vd is None
+            and not (cfg or {}).get("use_fused_adam")
+            and jax.default_backend() not in ("cpu",)):
+        md = "bfloat16"
+    as_dt = lambda d: jnp.dtype(str(d) if d is not None else jnp.float32)
+    return as_dt(md), as_dt(vd)
+
+
 def create_train_state(model, rng) -> TrainState:
     params = model.init(rng)
-    opt_state = adam_tx(*_adam_dtypes(getattr(model, "config", None))
-                        ).init(params)
+    opt_state = adam_tx(None, *resolve_adam_dtypes(
+        getattr(model, "config", None))).init(params)
     return TrainState(params=params, opt_state=opt_state)
 
 

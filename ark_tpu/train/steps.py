@@ -177,8 +177,9 @@ def _make_adam_apply(config, mesh):
     the optax path — GSPMD owns their partitioning). Both paths are
     bit-identical (tests/test_pallas_adam.py)."""
     cfg = config or {}
-    from ark_tpu.train.state import _adam_dtypes
-    tx = adam_tx(*_adam_dtypes(cfg))
+    from ark_tpu.train.state import resolve_adam_dtypes
+    m_dt, v_dt = resolve_adam_dtypes(cfg)
+    tx = adam_tx(None, m_dt, v_dt)
     # DEFAULT OFF: the fused Pallas optimizer measured SLOWER than XLA's
     # lowering of the optax path (2401 vs 4116 graphs/s on the wd-articles
     # bench config) and is not bit-identical on hardware (Mosaic contracts
@@ -187,9 +188,10 @@ def _make_adam_apply(config, mesh):
     # bit-identical and throughput-neutral; both stay available for A/B.
     mode = cfg.get("use_fused_adam", False)
     # safety conditions for the Pallas kernel: GSPMD owns sharded states,
-    # and the kernel's f32 moments can't carry a bf16 moment dtype
-    fused_ok = (mesh is None and not cfg.get("adam_state_dtype")
-                and not cfg.get("adam_m_dtype") and not cfg.get("adam_v_dtype"))
+    # and the kernel's f32 moments can't carry a bf16 moment dtype (the
+    # RESOLVED dtypes — resolve_adam_dtypes keeps the auto default at f32
+    # whenever use_fused_adam is set, so the A/B knob stays functional)
+    fused_ok = (mesh is None and m_dt == jnp.float32 and v_dt == jnp.float32)
     fused = bool(mode) and fused_ok
     # test-only interpret mode (CPU) rides the SAME safety conditions and
     # never overrides an explicit 'xla' selection — previously it forced

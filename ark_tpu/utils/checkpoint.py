@@ -347,7 +347,9 @@ class _SafeUnpickler(pickle.Unpickler):
         if module == __name__ and name == "_LeafSpec":
             # sharded-checkpoint metadata placeholder (pure data)
             return _LeafSpec
-        if module.split(".")[0] in ("numpy", "optax", "jax"):
+        # ml_dtypes supplies numpy's bfloat16 scalar type — present in any
+        # checkpoint saved under the TPU bf16 first-moment default
+        if module.split(".")[0] in ("numpy", "optax", "jax", "ml_dtypes"):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"checkpoint references {module}.{name}, which is not a known "

@@ -345,3 +345,54 @@ def test_sampler_bank_cycling_sizes_share_one_compile():
     # exactly the 17-sample request (the host-loop equivalence invariant)
     np.testing.assert_array_equal(out25[:17], out17)
     np.testing.assert_array_equal(out31[:25], out25)
+
+
+@pytest.mark.parametrize("mt", ["t-ARK", "t-SAIL"])
+def test_windowed_attention_sampling_is_token_exact(mt):
+    """Prefix-windowed attention (attn_window_segments, the round-5 t-ARK
+    sampling lever): the segmented token scan must produce BITWISE the
+    single-scan tokens — every key a segment's static cache slice drops
+    was causally masked to -1e30, whose exp underflows to exactly 0, so
+    the softmax and probs@V contractions are unchanged."""
+    from ark_tpu.sample import make_sampler
+    from ark_tpu.sample.samplers import _window_segments
+
+    # long enough that 'auto' actually segments (>= 2 segments need > 16
+    # decode steps)
+    layout = build_vocab_layout(40, 4, 15, 15, use_padding=True)
+    assert _window_segments(layout.seq_len - 1, layout.seq_len, 3) is not None
+    cfg = dict(BASE, model_type=mt, d_model=32, n_heads=4,
+               seq_len=layout.seq_len, vocab_size=layout.vocab_size,
+               n_entities=40, n_relations=4)
+    m_seg = build_model(cfg)                                  # auto -> 3
+    m_off = build_model(dict(cfg, attn_window_segments=1))    # single scan
+    params = m_seg.init(jax.random.key(0))
+    if mt == "t-SAIL":
+        arg = jax.random.normal(jax.random.key(5), (8, cfg["d_latent"]))
+    else:
+        arg = 8
+    for kwargs in (dict(sample=True, top_p=0.9), dict(sample=False)):
+        a = np.asarray(make_sampler(m_seg, layout, **kwargs)(
+            params, jax.random.key(3), arg))
+        b = np.asarray(make_sampler(m_off, layout, **kwargs)(
+            params, jax.random.key(3), arg))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_window_segments_shapes():
+    from ark_tpu.sample.samplers import _window_segments
+
+    # wd-articles geometry: 85 steps over an 86-slot cache
+    assert _window_segments(85, 86, 3) == [(0, 32, 32), (32, 64, 64),
+                                           (64, 85, 86)]
+    # too short to segment; and explicit off
+    assert _window_segments(10, 11, 3) is None
+    assert _window_segments(85, 86, 1) is None
+    # every segment's window covers its last write position
+    for n, L, k in [(85, 86, 5), (127, 128, 4), (33, 34, 2)]:
+        segs = _window_segments(n, L, k) or [(0, n, L)]
+        assert segs[-1][1] == n
+        prev_stop = 0
+        for start, stop, win in segs:
+            assert start == prev_stop and win >= stop and win <= L
+            prev_stop = stop

@@ -186,6 +186,71 @@ def test_bf16_adam_moments_track_f32(small_datasets):
     assert sb.opt_state.nu["tok_emb"].dtype == jnp.float32
 
 
+def test_resolve_adam_dtypes_auto_default(monkeypatch):
+    """Round-5 gated default: unset Adam dtype knobs resolve to a bf16
+    FIRST moment on accelerator backends only (the 15-epoch wd-articles
+    validity gate held the f32 line — runs_r5/ab/TABLE.md stage E); CPU
+    stays the f32 torch-parity configuration, explicit float32 wins on
+    TPU, and use_fused_adam suppresses the auto default so the fused
+    optimizer A/B paths keep their f32 moments."""
+    import jax
+    import jax.numpy as jnp
+    from ark_tpu.train.state import resolve_adam_dtypes
+
+    f32, bf16 = jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+    # this suite runs on the cpu backend: auto keeps f32 moments
+    assert resolve_adam_dtypes({}) == (f32, f32)
+    assert resolve_adam_dtypes(None) == (f32, f32)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_adam_dtypes({}) == (bf16, f32)
+    assert resolve_adam_dtypes({"adam_m_dtype": "float32"}) == (f32, f32)
+    assert resolve_adam_dtypes({"adam_v_dtype": "bfloat16"}) == (f32, bf16)
+    assert resolve_adam_dtypes({"adam_state_dtype": "bfloat16"}) == (bf16, bf16)
+    assert resolve_adam_dtypes({"use_fused_adam": True}) == (f32, f32)
+    assert resolve_adam_dtypes({"use_fused_adam": "xla"}) == (f32, f32)
+
+
+def test_resume_casts_moments_to_resolved_dtype(tmp_path, small_datasets):
+    """A checkpoint written under one backend's moment dtypes must resume
+    under THIS run's resolved dtypes (the TPU auto bf16-m default means
+    cross-backend resumes see a dtype change; the epoch scan's carry dtype
+    must match the optimizer's stored dtype or tracing fails)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ark_tpu.train.loop import run_training
+    from ark_tpu.utils.checkpoint import load_checkpoint
+    from ark_tpu.utils.logging import Run
+
+    cfg = dict(model_type="ARK", dataset="syn-paths", d_model=32,
+               n_layers=1, batch_size=32, num_epochs=1, learning_rate=1e-3,
+               lr_scheduler=False, seed=0, sample_frac=0.03125,
+               verify_every=100, compression_log_every=100, save_every=100,
+               num_generated_latent_graphs=8, use_padding=True,
+               experiment_name="resume_cast")
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    run_training(dict(cfg), str(d1), Run(enabled=False))
+    ck = str(next(d1.glob("*best_model.pt")))
+    payload = load_checkpoint(ck)
+    # simulate a checkpoint written under the TPU auto default: bf16 mu
+    payload["optimizer_state_dict"] = jax.tree.map(
+        lambda x: (x.astype(np.float32).astype(jnp.bfloat16)
+                   if getattr(x, "dtype", None) == np.float32 else x),
+        payload["optimizer_state_dict"])
+    ck2 = str(tmp_path / "bf16m.pt")
+    import pickle
+    with open(ck2, "wb") as f:
+        pickle.dump(payload, f)
+    # resuming on cpu (auto = f32 moments) must retrace cleanly: the
+    # restored bf16 moments are cast to this backend's resolved f32
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    run_training(dict(cfg, num_epochs=2, resume_from_checkpoint=True,
+                      checkpoint_path=ck2), str(d2), Run(enabled=False))
+
+
 def test_bench_flops_model_sanity():
     """bench.py's analytic FLOPs helpers (round-3 VERDICT item 3): the
     closed forms must match a hand count at a small geometry, and the
