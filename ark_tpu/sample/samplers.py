@@ -345,13 +345,16 @@ def make_sampler(model, layout, *, sample=True, temperature=1.0, top_k=0,
     # statically smaller KV-cache slice instead of the full padded cache
     # the mask will zero anyway. At the wd-articles geometry the full
     # [B, H, L, dh] read per step per layer rivals the streamed head
-    # (round-5 t-ARK trace, docs/BENCH_NOTES.md); 3 segments cut that
-    # traffic ~33%. Config `attn_window_segments`: 'auto' (3 for txf
-    # decoders), 0/1 = off, N = that many segments.
+    # (round-5 t-ARK trace, docs/BENCH_NOTES.md). Measured on TPU
+    # (runs_r5/ab/r5_bench_tark_win*.json): 3 segments +8.5%, 6 segments
+    # +13.3% over the unwindowed control, with a plateau from 6 on
+    # (8 and 12 segments measure identically) — so 'auto' = 6 for txf
+    # decoders (fewest compiled scan bodies at the plateau).
+    # Config `attn_window_segments`: 'auto', 0/1 = off, N = N segments.
     n_seg = (getattr(model, "config", None) or {}).get(
         "attn_window_segments", "auto")
     if n_seg == "auto":
-        n_seg = 3 if getattr(model, "decoder_arch", None) == "txf" else 1
+        n_seg = 6 if getattr(model, "decoder_arch", None) == "txf" else 1
     attn_segments = _window_segments(L - 1, L, int(n_seg)) \
         if getattr(model, "decoder_arch", None) == "txf" else None
 

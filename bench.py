@@ -272,6 +272,11 @@ def _measure_sampling(cfg, layout, model, state, train_gps, train_tflops,
         # candidates per acceptance round (fewer = less pass-A noise work,
         # higher retry probability)
         scfg["fused_sample_kcands"] = int(_skc)
+    _seg = os.environ.get("ARK_TPU_BENCH_ATTN_SEG", "")
+    if _seg:
+        # prefix-windowed KV attention segments for transformer decode
+        # ('auto' = 3 for txf decoders, 0/1 = off, N = that many segments)
+        scfg["attn_window_segments"] = _seg if _seg == "auto" else int(_seg)
     # the production sampling path (SamplerBank.sample_sequences): all chunks
     # of the request run on-device in one dispatch (lax.scan over chunks),
     # one host fetch per call — the measured number is device-bound, not
